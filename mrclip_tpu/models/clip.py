@@ -1,0 +1,335 @@
+"""CLIP model assembly: dual towers + temperature, TPU-first.
+
+Capability parity with reference `src/open_clip/model.py`:
+- `CLIPVisionCfg` / `CLIPTextCfg` dataclasses (:26-84),
+- `CLIP` combined module (:222-332) with `encode_image` / `encode_text` /
+  `get_logits` / `__call__` and the MR-CLIP `logit_scale_trainable` toggle
+  (:236,254-258),
+- `CustomTextCLIP` (:370-460) — in JAX both variants collapse into one
+  module holding separate tower submodules (params are a pytree either way),
+- MR-CLIP extras `SimCLRProjectionHead` (:334-344) and `TabularEncoder`
+  (:346-368; rebuilt working — the reference references an undefined `args`).
+
+Precision: params live in fp32; `dtype=bfloat16` sets the compute/activation
+dtype (the autocast equivalent). The logit scale is always fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import gelu_exact, quick_gelu
+from .resnet import ModifiedResNet
+from .text import TextTransformer
+from .vision import VisionTransformer
+
+Dtype = Any
+
+
+@dataclass
+class CLIPVisionCfg:
+    """Vision tower config (reference model.py:26-54)."""
+
+    layers: Union[Tuple[int, int, int, int], int] = 12
+    width: int = 768
+    head_width: int = 64
+    mlp_ratio: float = 4.0
+    patch_size: int = 16
+    image_size: Union[int, Tuple[int, int]] = 224
+    ls_init_value: Optional[float] = None
+    patch_dropout: float = 0.0
+    attentional_pool: bool = False
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"
+    final_ln_after_pool: bool = False
+    pool_type: str = "tok"
+    output_tokens: bool = False
+    act_kwargs: Optional[dict] = None
+    norm_kwargs: Optional[dict] = None
+    # timm adapter surface (reference :47-54); resolved by the factory.
+    timm_model_name: Optional[str] = None
+    timm_model_pretrained: bool = False
+    timm_pool: str = "avg"
+    timm_proj: str = "linear"
+    timm_proj_bias: bool = False
+    timm_drop: float = 0.0
+    timm_drop_path: Optional[float] = None
+
+
+@dataclass
+class CLIPTextCfg:
+    """Text tower config (reference model.py:57-84)."""
+
+    context_length: int = 98
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    embed_cls: bool = False
+    pad_id: int = 0
+    no_causal_mask: bool = False
+    final_ln_after_pool: bool = False
+    pool_type: str = "argmax"
+    proj_bias: bool = False
+    output_tokens: bool = False
+    act_kwargs: Optional[dict] = None
+    norm_kwargs: Optional[dict] = None
+    # HF adapter surface (reference :76-82); resolved by the factory.
+    hf_model_name: Optional[str] = None
+    hf_model_pretrained: bool = True
+    hf_tokenizer_name: Optional[str] = None
+    hf_proj_type: str = "mlp"
+    hf_pooler_type: str = "mean_pooler"
+
+
+def _filter_cfg(cfg_cls, d: dict):
+    names = {f.name for f in dataclasses.fields(cfg_cls)}
+    return cfg_cls(**{k: v for k, v in d.items() if k in names})
+
+
+def build_vision_tower(
+    embed_dim: int,
+    vision_cfg: Union[CLIPVisionCfg, dict],
+    quick_gelu_act: bool = False,
+    dtype: Dtype = jnp.float32,
+    scan_layers: bool = True,
+    remat: bool = False,
+    name: str = "visual",
+) -> nn.Module:
+    """Select + build the vision tower (reference model.py:105-171)."""
+    if isinstance(vision_cfg, dict):
+        vision_cfg = _filter_cfg(CLIPVisionCfg, vision_cfg)
+    act = quick_gelu if quick_gelu_act else gelu_exact
+
+    if vision_cfg.timm_model_name:
+        raise NotImplementedError(
+            "timm vision towers are torch-specific; use a native ViT/ResNet config "
+            "(reference timm_model.py adapter has no TPU equivalent yet)"
+        )
+    if isinstance(vision_cfg.layers, (tuple, list)):
+        heads = vision_cfg.width * 32 // vision_cfg.head_width
+        return ModifiedResNet(
+            layers=tuple(vision_cfg.layers),
+            output_dim=embed_dim,
+            heads=heads,
+            image_size=vision_cfg.image_size,
+            width=vision_cfg.width,
+            dtype=dtype,
+            name=name,
+        )
+    heads = vision_cfg.width // vision_cfg.head_width
+    return VisionTransformer(
+        image_size=vision_cfg.image_size,
+        patch_size=vision_cfg.patch_size,
+        width=vision_cfg.width,
+        layers=vision_cfg.layers,
+        heads=heads,
+        mlp_ratio=vision_cfg.mlp_ratio,
+        ls_init_value=vision_cfg.ls_init_value,
+        output_dim=embed_dim,
+        patch_dropout=vision_cfg.patch_dropout,
+        attentional_pool=vision_cfg.attentional_pool,
+        attn_pooler_queries=vision_cfg.attn_pooler_queries,
+        attn_pooler_heads=vision_cfg.attn_pooler_heads,
+        no_ln_pre=vision_cfg.no_ln_pre,
+        pos_embed_type=vision_cfg.pos_embed_type,
+        pool_type=vision_cfg.pool_type,
+        final_ln_after_pool=vision_cfg.final_ln_after_pool,
+        act=act,
+        output_tokens=vision_cfg.output_tokens,
+        scan_layers=scan_layers,
+        remat=remat,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def build_text_tower(
+    embed_dim: int,
+    text_cfg: Union[CLIPTextCfg, dict],
+    quick_gelu_act: bool = False,
+    dtype: Dtype = jnp.float32,
+    scan_layers: bool = True,
+    remat: bool = False,
+    name: str = "text",
+) -> nn.Module:
+    """Select + build the text tower (reference model.py:174-219)."""
+    if isinstance(text_cfg, dict):
+        text_cfg = _filter_cfg(CLIPTextCfg, text_cfg)
+    if text_cfg.hf_model_name:
+        from .hf_text import HFTextEncoder
+
+        return HFTextEncoder(
+            model_name=text_cfg.hf_model_name,
+            output_dim=embed_dim,
+            proj_type=text_cfg.hf_proj_type,
+            pooler_type=text_cfg.hf_pooler_type,
+            pretrained=text_cfg.hf_model_pretrained,
+            output_tokens=text_cfg.output_tokens,
+            dtype=dtype,
+            name=name,
+        )
+    act = quick_gelu if quick_gelu_act else gelu_exact
+    return TextTransformer(
+        context_length=text_cfg.context_length,
+        vocab_size=text_cfg.vocab_size,
+        width=text_cfg.width,
+        heads=text_cfg.heads,
+        layers=text_cfg.layers,
+        mlp_ratio=text_cfg.mlp_ratio,
+        ls_init_value=text_cfg.ls_init_value,
+        output_dim=embed_dim,
+        embed_cls=text_cfg.embed_cls,
+        no_causal_mask=text_cfg.no_causal_mask,
+        pad_id=text_cfg.pad_id,
+        pool_type=text_cfg.pool_type,
+        proj_bias=text_cfg.proj_bias,
+        act=act,
+        output_tokens=text_cfg.output_tokens,
+        scan_layers=scan_layers,
+        remat=remat,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class CLIP(nn.Module):
+    """Dual-tower CLIP producing L2-normalized embeddings + logit scale.
+
+    One module covers both the reference `CLIP` (inlined text tower,
+    model.py:222-332) and `CustomTextCLIP` (separate `.text` module,
+    :370-460): in JAX the tower is always a submodule and checkpoint
+    importers handle either torch layout.
+    """
+
+    embed_dim: int = 512
+    vision_cfg: Any = dataclasses.field(default_factory=CLIPVisionCfg)
+    text_cfg: Any = dataclasses.field(default_factory=CLIPTextCfg)
+    quick_gelu: bool = False
+    init_logit_scale: float = math.log(1 / 0.07)
+    init_logit_bias: Optional[float] = None
+    logit_scale_trainable: bool = True  # MR-CLIP `logitscaletrainable` (model.py:254-258)
+    nonscalar_logit_scale: bool = False
+    scan_layers: bool = True
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.visual = build_vision_tower(
+            self.embed_dim, self.vision_cfg, self.quick_gelu, self.dtype,
+            self.scan_layers, self.remat, name="visual",
+        )
+        self.text = build_text_tower(
+            self.embed_dim, self.text_cfg, self.quick_gelu, self.dtype,
+            self.scan_layers, self.remat, name="text",
+        )
+        shape = (1,) if self.nonscalar_logit_scale else ()
+        init = lambda key: jnp.full(shape, self.init_logit_scale, jnp.float32)
+        if self.logit_scale_trainable:
+            self.logit_scale = self.param("logit_scale", lambda key: init(key))
+        else:
+            # Frozen temperature: stored as a non-trainable constant variable.
+            self.logit_scale = self.variable("constants", "logit_scale", lambda: init(None)).value
+        if self.init_logit_bias is not None:
+            self.logit_bias = self.param(
+                "logit_bias", lambda key: jnp.full(shape, self.init_logit_bias, jnp.float32)
+            )
+        else:
+            self.logit_bias = None
+
+    def encode_image(self, images, normalize: bool = False, deterministic: bool = True):
+        feats = self.visual(images, deterministic=deterministic)
+        if isinstance(feats, tuple):
+            feats = feats[0]
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def encode_text(self, tokens, normalize: bool = False, deterministic: bool = True):
+        feats = self.text(tokens, deterministic=deterministic)
+        if isinstance(feats, tuple):
+            feats = feats[0]
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def get_logits(self, images, tokens, deterministic: bool = True):
+        """(logits_per_image, logits_per_text) at the current temperature."""
+        img = self.encode_image(images, normalize=True, deterministic=deterministic)
+        txt = self.encode_text(tokens, normalize=True, deterministic=deterministic)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * img @ txt.T
+        if self.logit_bias is not None:
+            logits_per_image = logits_per_image + self.logit_bias
+        return logits_per_image, logits_per_image.T
+
+    def __call__(
+        self,
+        images: Optional[jax.Array] = None,
+        tokens: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> dict:
+        out = {}
+        if images is not None:
+            out["image_features"] = self.encode_image(
+                images, normalize=True, deterministic=deterministic
+            )
+        if tokens is not None:
+            out["text_features"] = self.encode_text(
+                tokens, normalize=True, deterministic=deterministic
+            )
+        out["logit_scale"] = jnp.exp(self.logit_scale)
+        if self.logit_bias is not None:
+            out["logit_bias"] = self.logit_bias
+        return out
+
+
+# Keep the reference's public name importable; same module either way.
+CustomTextCLIP = CLIP
+
+
+class SimCLRProjectionHead(nn.Module):
+    """2-layer MLP projection head (reference model.py:334-344)."""
+
+    hidden_dim: int = 2048
+    output_dim: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)
+
+
+class TabularEncoder(nn.Module):
+    """MLP encoder for tabular acquisition metadata (reference model.py:346-368).
+
+    The reference version crashes on an undefined `args`; rebuilt with the
+    input dimension as an explicit field.
+    """
+
+    input_dim: int
+    hidden_dim: int = 256
+    output_dim: int = 512
+    layers: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.layers):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="head")(x)

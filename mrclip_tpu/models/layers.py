@@ -1,0 +1,256 @@
+"""Core NN building blocks, TPU-first.
+
+Capability parity with reference `src/open_clip/transformer.py:15-207`
+(LayerNorm variants, QuickGELU, LayerScale, PatchDropout, Attention,
+AttentionalPooler) re-designed for JAX/XLA:
+
+- LayerNorm always computes statistics in fp32 regardless of the bf16 compute
+  dtype (the fp32-island pattern the reference implements as `LayerNormFp32`).
+- Attention uses one fused QKV matmul (MXU-friendly) and
+  `jax.nn.dot_product_attention` so XLA can pick its fused attention path.
+- PatchDropout keeps a *static* number of patches so shapes stay
+  jit-compatible (FLIP-style, reference transformer.py:49-86).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+__all__ = [
+    "LayerNorm",
+    "QuickGELU",
+    "LayerScale",
+    "PatchDropout",
+    "MultiHeadAttention",
+    "AttentionalPooler",
+    "MLP",
+]
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics; output cast back to the input dtype.
+
+    Mirrors `LayerNormFp32` / `LayerNorm` (reference transformer.py:15-30) —
+    on TPU there is no reason to ever norm in bf16, so both variants collapse
+    into this one numerically-safe implementation.
+    """
+
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+            y = y + bias
+        return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """OpenAI CLIP activation `x * sigmoid(1.702 x)` (reference :33-36)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — matches torch nn.GELU's default, unlike flax
+    nn.gelu whose default is the tanh approximation."""
+    return nn.gelu(x, approximate=False)
+
+
+class QuickGELU(nn.Module):
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return quick_gelu(x)
+
+
+class LayerScale(nn.Module):
+    """Learned per-channel residual scaling (reference transformer.py:39-46)."""
+
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma",
+            lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (x.shape[-1],),
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class PatchDropout(nn.Module):
+    """FLIP-style patch dropout with a static keep count (reference :49-86).
+
+    Keeps `ceil(n * (1 - prob))` patches per sample (at least 1), optionally
+    excluding the CLS token from the lottery. Shapes are static under jit.
+    """
+
+    prob: float = 0.0
+    exclude_first_token: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        if deterministic or self.prob == 0.0:
+            return x
+        assert 0.0 <= self.prob < 1.0
+
+        if self.exclude_first_token:
+            cls, patches = x[:, :1], x[:, 1:]
+        else:
+            cls, patches = None, x
+
+        b, n, _ = patches.shape
+        keep = max(1, int(n * (1.0 - self.prob)))
+        rng = self.make_rng("dropout")
+        # Per-sample random subset: rank random noise, take top-`keep` slots.
+        noise = jax.random.uniform(rng, (b, n))
+        keep_idx = jnp.argsort(noise, axis=-1)[:, :keep]
+        patches = jnp.take_along_axis(patches, keep_idx[..., None], axis=1)
+
+        if cls is not None:
+            patches = jnp.concatenate([cls, patches], axis=1)
+        return patches
+
+
+class MLP(nn.Module):
+    """Transformer MLP: c_fc -> act -> c_proj (reference :231-236)."""
+
+    width: int
+    hidden: int
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="c_fc")(x)
+        x = self.act(x)
+        x = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with fused QKV projection.
+
+    Covers both the torch built-in MHA used by `ResidualAttentionBlock` and
+    the custom `Attention` (reference transformer.py:89-184): optional
+    scaled-cosine attention with a per-head learned logit scale, and optional
+    per-head output scaling (`scale_heads`).
+    """
+
+    num_heads: int
+    scaled_cosine: bool = False
+    scale_heads: bool = False
+    logit_scale_max: float = 4.6052  # ln(100)
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        kv: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        is_causal: bool = False,
+    ) -> jax.Array:
+        """`x`: [B, N, D] queries. `kv`: [B, M, D] for cross-attention.
+
+        `mask`: additive fp32 bias [..., N, M] or boolean (True = attend).
+        """
+        d = x.shape[-1]
+        head_dim = d // self.num_heads
+        assert head_dim * self.num_heads == d
+
+        if kv is None:
+            qkv = nn.Dense(3 * d, use_bias=self.use_bias, dtype=self.dtype, name="in_proj")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            # Cross-attention: separate projections, shared naming with the
+            # fused path for checkpoint import symmetry.
+            q = nn.Dense(d, use_bias=self.use_bias, dtype=self.dtype, name="q_proj")(x)
+            k = nn.Dense(d, use_bias=self.use_bias, dtype=self.dtype, name="k_proj")(kv)
+            v = nn.Dense(d, use_bias=self.use_bias, dtype=self.dtype, name="v_proj")(kv)
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], self.num_heads, head_dim)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        if self.scaled_cosine:
+            logit_scale = self.param(
+                "logit_scale",
+                lambda key, shape: jnp.full(shape, jnp.log(10.0), jnp.float32),
+                (self.num_heads, 1, 1),
+            )
+            qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
+            kn = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", qn, kn, preferred_element_type=jnp.float32)
+            attn = attn * jnp.exp(jnp.clip(logit_scale, a_max=self.logit_scale_max))
+            if is_causal:
+                n = attn.shape[-2]
+                causal = jnp.tril(jnp.ones((n, attn.shape[-1]), dtype=bool))
+                attn = jnp.where(causal, attn, -jnp.inf)
+            if mask is not None:
+                if mask.dtype == jnp.bool_:
+                    attn = jnp.where(mask, attn, -jnp.inf)
+                else:
+                    attn = attn + mask
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        else:
+            bias = None
+            bool_mask = None
+            if mask is not None:
+                if mask.dtype == jnp.bool_:
+                    bool_mask = mask
+                else:
+                    bias = mask.astype(jnp.float32)
+            out = jax.nn.dot_product_attention(
+                q, k, v, bias=bias, mask=bool_mask, is_causal=is_causal
+            )
+
+        if self.scale_heads:
+            head_scale = self.param("head_scale", nn.initializers.ones, (self.num_heads, 1))
+            out = out * head_scale.astype(out.dtype)
+
+        out = out.reshape(out.shape[0], out.shape[1], d)
+        return nn.Dense(d, use_bias=self.use_bias, dtype=self.dtype, name="out_proj")(out)
+
+
+class AttentionalPooler(nn.Module):
+    """Learned-query cross-attention pooling (reference transformer.py:187-207).
+
+    `n_queries` learned queries attend over the sequence; returns [B, Q, D].
+    """
+
+    d_model: int
+    num_heads: int = 8
+    n_queries: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        query = self.param(
+            "query", nn.initializers.normal(stddev=self.d_model**-0.5), (self.n_queries, self.d_model)
+        )
+        q = jnp.broadcast_to(query, (x.shape[0],) + query.shape).astype(self.dtype)
+        x = LayerNorm(name="ln_k")(x)
+        q = LayerNorm(name="ln_q")(q)
+        if self.d_model != x.shape[-1]:
+            x = nn.Dense(self.d_model, dtype=self.dtype, name="kv_proj")(x)
+        return MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype, name="attn")(q, kv=x)

@@ -1,0 +1,175 @@
+"""Transformer stack, TPU-first.
+
+Capability parity with reference `src/open_clip/transformer.py:210-431`
+(`ResidualAttentionBlock`, `Transformer`, `CustomTransformer`), re-designed
+for XLA:
+
+- `scan_layers=True` folds the layer loop into one `lax.scan` so the stack
+  compiles once regardless of depth (params stacked along a leading layer
+  axis — also the natural layout for pipeline sharding).
+- `remat=True` applies `jax.checkpoint` per block, the reference's
+  `grad_checkpointing` (transformer.py:359-361) done the JAX way.
+- Pre-LN residual blocks with optional LayerScale, scaled-cosine attention
+  and head scaling cover the `CustomTransformer` surface via flags.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import MLP, LayerNorm, LayerScale, MultiHeadAttention, gelu_exact
+
+Dtype = Any
+
+__all__ = ["ResidualAttentionBlock", "Transformer", "text_global_pool"]
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN block: x += attn(ln_1(x)); x += mlp(ln_2(x)).
+
+    With `cross_attn=True` adds a cross-attention sublayer between self-attn
+    and MLP (the CoCa multimodal decoder block, reference :830-926).
+    `is_causal` is a static field so XLA sees a fixed attention pattern.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    scaled_cosine: bool = False
+    scale_heads: bool = False
+    cross_attn: bool = False
+    is_causal: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        kv: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        width = x.shape[-1]
+
+        def maybe_ls(name):
+            if self.ls_init_value is None:
+                return lambda t: t
+            return LayerScale(init_value=self.ls_init_value, name=name)
+
+        y = LayerNorm(name="ln_1")(x)
+        y = MultiHeadAttention(
+            num_heads=self.num_heads,
+            scaled_cosine=self.scaled_cosine,
+            scale_heads=self.scale_heads,
+            dtype=self.dtype,
+            name="attn",
+        )(y, mask=mask, is_causal=self.is_causal)
+        x = x + maybe_ls("ls_1")(y)
+
+        if self.cross_attn:
+            assert kv is not None, "cross_attn block requires kv"
+            y = LayerNorm(name="ln_1_kv")(x)
+            y = MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype, name="cross_attn")(
+                y, kv=kv
+            )
+            x = x + maybe_ls("ls_cross")(y)
+
+        y = LayerNorm(name="ln_2")(x)
+        y = MLP(width=width, hidden=int(width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(y)
+        x = x + maybe_ls("ls_2")(y)
+        return x
+
+
+class _ScanBlock(nn.Module):
+    """Carry adapter so ResidualAttentionBlock fits nn.scan's (carry, out) contract."""
+
+    block_kwargs: dict
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, kv, mask):
+        cls = ResidualAttentionBlock
+        if self.remat:
+            cls = nn.remat(cls, prevent_cse=False)
+        x = cls(name="block", **self.block_kwargs)(x, kv, mask)
+        return x, None
+
+
+class Transformer(nn.Module):
+    """Stack of residual attention blocks.
+
+    Reference `Transformer` (transformer.py:319-366). The layer loop is a
+    `lax.scan` when `scan_layers=True`; per-block remat when `remat=True`.
+    """
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    scaled_cosine: bool = False
+    scale_heads: bool = False
+    cross_attn: bool = False
+    is_causal: bool = False
+    scan_layers: bool = True
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        kv: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        block_kwargs = dict(
+            num_heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            act=self.act,
+            scaled_cosine=self.scaled_cosine,
+            scale_heads=self.scale_heads,
+            cross_attn=self.cross_attn,
+            is_causal=self.is_causal,
+            dtype=self.dtype,
+        )
+
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.layers,
+            )(block_kwargs=block_kwargs, remat=self.remat, name="blocks")
+            x, _ = scanned(x, kv, mask)
+        else:
+            cls = ResidualAttentionBlock
+            if self.remat:
+                cls = nn.remat(cls, prevent_cse=False)
+            for i in range(self.layers):
+                x = cls(name=f"blocks_{i}", **block_kwargs)(x, kv, mask)
+        return x
+
+
+def text_global_pool(x: jax.Array, tokens: Optional[jax.Array] = None, pool_type: str = "argmax"):
+    """Pool a text sequence (reference transformer.py:659-671).
+
+    'argmax' takes the position of the highest token id (EOT has the largest
+    id in the CLIP vocab); 'first'/'last' take fixed positions; 'none' is
+    identity. Returns (pooled, tokens_out).
+    """
+    if pool_type == "first":
+        return x[:, 0], x[:, 1:]
+    if pool_type == "last":
+        return x[:, -1], x[:, :-1]
+    if pool_type == "argmax":
+        assert tokens is not None
+        eot = jnp.argmax(tokens, axis=-1)
+        return x[jnp.arange(x.shape[0]), eot], x
+    return x, x

@@ -1,0 +1,164 @@
+"""Vision tower: ViT image encoder, TPU-first.
+
+Capability parity with reference `src/open_clip/transformer.py:434-656`
+(`VisionTransformer`): conv patchify -> +CLS +pos-embed (learnable or 2D
+sin-cos) -> patch dropout -> ln_pre -> Transformer -> pool
+(tok/avg/none/attentional) -> ln_post -> projection.
+
+Layout is NHWC (TPU-native conv layout); patchify is a single strided conv
+that XLA lowers onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.pos_embed import sincos_2d
+from .layers import AttentionalPooler, LayerNorm, PatchDropout, gelu_exact
+from .transformer import Transformer
+
+Dtype = Any
+
+
+def to_2tuple(x) -> Tuple[int, int]:
+    return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+
+class VisionTransformer(nn.Module):
+    """ViT image encoder producing a pooled embedding (and optional tokens)."""
+
+    image_size: Union[int, Tuple[int, int]] = 224
+    patch_size: Union[int, Tuple[int, int]] = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    output_dim: Optional[int] = 512
+    patch_dropout: float = 0.0
+    attentional_pool: bool = False
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"  # 'learnable' | 'sin_cos_2d'
+    pool_type: str = "tok"  # 'tok' | 'avg' | 'none'
+    final_ln_after_pool: bool = False
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    output_tokens: bool = False
+    scan_layers: bool = True
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        ih, iw = to_2tuple(self.image_size)
+        ph, pw = to_2tuple(self.patch_size)
+        return ih // ph, iw // pw
+
+    @nn.compact
+    def __call__(self, images: jax.Array, *, deterministic: bool = True):
+        """`images`: [B, H, W, 3] float (already normalized)."""
+        assert self.pool_type in ("tok", "avg", "none")
+        ph, pw = to_2tuple(self.patch_size)
+        gh, gw = self.grid_size
+        b = images.shape[0]
+
+        x = nn.Conv(
+            features=self.width,
+            kernel_size=(ph, pw),
+            strides=(ph, pw),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(images.astype(self.dtype))
+        x = x.reshape(b, gh * gw, self.width)
+
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(stddev=self.width**-0.5), (self.width,)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.width)), x], axis=1
+        )
+
+        n_pos = gh * gw + 1
+        if self.pos_embed_type == "learnable":
+            pos = self.param(
+                "positional_embedding",
+                nn.initializers.normal(stddev=self.width**-0.5),
+                (n_pos, self.width),
+            )
+        elif self.pos_embed_type == "sin_cos_2d":
+            assert gh == gw, "sin_cos_2d requires a square patch grid"
+            pos = self.variable(
+                "constants",
+                "positional_embedding",
+                lambda: jnp.asarray(sincos_2d(self.width, gh, gw, cls_token=True)),
+            ).value
+        else:
+            raise ValueError(f"unknown pos_embed_type {self.pos_embed_type}")
+        x = x + pos.astype(self.dtype)
+
+        if self.patch_dropout > 0:
+            x = PatchDropout(prob=self.patch_dropout, name="patch_drop")(
+                x, deterministic=deterministic
+            )
+
+        if not self.no_ln_pre:
+            x = LayerNorm(name="ln_pre")(x)
+
+        x = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            act=self.act,
+            scan_layers=self.scan_layers,
+            remat=self.remat,
+            dtype=self.dtype,
+            name="transformer",
+        )(x)
+
+        def global_pool(t):
+            if self.pool_type == "avg":
+                return jnp.mean(t[:, 1:], axis=1), t[:, 1:]
+            if self.pool_type == "tok":
+                return t[:, 0], t[:, 1:]
+            return t, t
+
+        if self.attentional_pool:
+            # 'parallel'-style attn pooling with a single pooler module
+            # (reference :509-529 supports parallel/cascade; single pooler with
+            # n_queries=1 used for the contrastive branch when configured).
+            x = AttentionalPooler(
+                d_model=self.width,
+                num_heads=self.attn_pooler_heads,
+                n_queries=self.attn_pooler_queries,
+                dtype=self.dtype,
+                name="attn_pool",
+            )(x)
+            x = LayerNorm(name="ln_post")(x)
+            pooled, tokens = x[:, 0], x
+        elif self.final_ln_after_pool:
+            pooled, tokens = global_pool(x)
+            pooled = LayerNorm(name="ln_post")(pooled)
+        else:
+            x = LayerNorm(name="ln_post")(x)
+            pooled, tokens = global_pool(x)
+
+        if self.output_dim is not None:
+            proj = self.param(
+                "proj",
+                nn.initializers.normal(stddev=self.width**-0.5),
+                (self.width, self.output_dim),
+            )
+            pooled = pooled @ proj.astype(pooled.dtype)
+
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled

@@ -1,12 +1,18 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
 Multi-chip sharding is validated without TPU hardware by splitting the host
-CPU into 8 XLA devices (SURVEY.md §4). Must run before `import jax`.
+CPU into 8 XLA devices (SURVEY.md §4). The axon TPU plugin in this image
+overrides JAX_PLATFORMS at interpreter start, so we override it back via
+jax.config *after* import (backend selection is lazy, so this wins as long
+as it runs before any jax computation).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
