@@ -200,7 +200,7 @@ class MultiHeadAttention(nn.Module):
             qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
             kn = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
             attn = jnp.einsum("bqhd,bkhd->bhqk", qn, kn, preferred_element_type=jnp.float32)
-            attn = attn * jnp.exp(jnp.clip(logit_scale, a_max=self.logit_scale_max))
+            attn = attn * jnp.exp(jnp.clip(logit_scale, max=self.logit_scale_max))
             if is_causal:
                 n = attn.shape[-2]
                 causal = jnp.tril(jnp.ones((n, attn.shape[-1]), dtype=bool))
