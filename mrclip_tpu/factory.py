@@ -1,0 +1,331 @@
+"""Model/loss/tokenizer factory + JSON config registry.
+
+Capability parity with reference `src/open_clip/factory.py`:
+- config registry scanning `model_configs/*.json` (:32-75): `list_models`,
+  `get_model_config`, `add_model_config`,
+- `get_tokenizer` (:94-138),
+- `create_model` (:216-429) with force flags (quick_gelu, patch_dropout,
+  image_size), precision handling, pretrained loading (torch checkpoints via
+  the importer),
+- `create_loss` (:432-503) — full dispatch matrix INCLUDING the three loss
+  paths that are broken (NameError) in the reference snapshot
+  (`--visiononly`, `--distance`, `--lam`; SURVEY.md §2.2),
+- `create_model_and_transforms` (:506-564) / `create_model_from_pretrained`
+  (:567-617).
+
+JAX deltas: `create_model` returns `(module, variables)` — params are an
+explicit pytree, not module state. Precision 'bf16'/'pure_bf16' sets the
+compute dtype (params stay fp32; there is no GradScaler on TPU).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from copy import deepcopy
+from dataclasses import asdict
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import DEFAULT_CONTEXT_LENGTH
+from .losses import (
+    clip_loss,
+    coca_loss,
+    distill_clip_loss,
+    multipositive_clip_loss,
+    multipositive_clip_loss_vision_only,
+    multipositive_clip_loss_with_distance,
+    multipositive_clip_loss_with_vision,
+    siglip_loss,
+)
+from .models import CLIP
+from .tokenizer import DEFAULT_CONTEXT_LENGTH, HFTokenizer, SimpleTokenizer
+from .transforms import AugmentationCfg, PreprocessCfg, image_transform_v2, merge_preprocess_dict
+
+__all__ = [
+    "list_models",
+    "get_model_config",
+    "add_model_config",
+    "get_tokenizer",
+    "create_model",
+    "create_model_and_transforms",
+    "create_model_from_pretrained",
+    "create_loss",
+]
+
+_MODEL_CONFIG_PATHS = [Path(__file__).parent / "model_configs/"]
+_MODEL_CONFIGS: Dict[str, dict] = {}
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s.lower())]
+
+
+def _rescan_model_configs():
+    global _MODEL_CONFIGS
+    config_files = []
+    for config_path in _MODEL_CONFIG_PATHS:
+        if config_path.is_dir():
+            config_files.extend(config_path.glob("*.json"))
+        elif config_path.is_file() and config_path.suffix == ".json":
+            config_files.append(config_path)
+    for cf in config_files:
+        with open(cf) as f:
+            cfg = json.load(f)
+        if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
+            _MODEL_CONFIGS[cf.stem] = cfg
+    _MODEL_CONFIGS = dict(
+        sorted(_MODEL_CONFIGS.items(), key=lambda x: _natural_key(x[0]))
+    )
+
+
+_rescan_model_configs()
+
+
+def list_models():
+    """Enumerate registered model architectures (reference factory.py:60-63)."""
+    return list(_MODEL_CONFIGS.keys())
+
+
+def get_model_config(model_name: str) -> Optional[dict]:
+    if model_name in _MODEL_CONFIGS:
+        return deepcopy(_MODEL_CONFIGS[model_name])
+    return None
+
+
+def add_model_config(path) -> None:
+    """Register model configs from a file or directory (reference :66-75)."""
+    if not isinstance(path, Path):
+        path = Path(path)
+    _MODEL_CONFIG_PATHS.append(path)
+    _rescan_model_configs()
+
+
+def get_tokenizer(
+    model_name: str = "",
+    context_length: Optional[int] = None,
+    cache_dir: Optional[str] = None,
+    **kwargs,
+):
+    """Model-name -> tokenizer (reference factory.py:94-138)."""
+    config = get_model_config(model_name) or {}
+    text_config = config.get("text_cfg", {})
+    if "tokenizer_kwargs" in text_config:
+        tokenizer_kwargs = dict(text_config["tokenizer_kwargs"], **kwargs)
+    else:
+        tokenizer_kwargs = kwargs
+    if context_length is None:
+        context_length = text_config.get("context_length", DEFAULT_CONTEXT_LENGTH)
+
+    if "hf_tokenizer_name" in text_config:
+        return HFTokenizer(
+            text_config["hf_tokenizer_name"],
+            context_length=context_length,
+            cache_dir=cache_dir,
+            **tokenizer_kwargs,
+        )
+    return SimpleTokenizer(context_length=context_length, **tokenizer_kwargs)
+
+
+def _cast_dtype(precision: str):
+    if precision in ("bf16", "pure_bf16", "amp_bf16", "amp_bfloat16"):
+        return jnp.bfloat16
+    if precision in ("fp16", "pure_fp16", "amp", "amp_fp16"):
+        # TPUs have native bf16; fp16 requests map to bf16 (no GradScaler
+        # needed — reference precision.py/GradScaler machinery is subsumed).
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def create_model(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    *,
+    force_quick_gelu: bool = False,
+    force_patch_dropout: Optional[float] = None,
+    force_image_size: Optional[Union[int, Tuple[int, int]]] = None,
+    force_context_length: Optional[int] = None,
+    logit_scale_trainable: bool = True,
+    scan_layers: bool = True,
+    grad_checkpointing: bool = False,
+    init_params: bool = True,
+    rng_seed: int = 0,
+    **model_kwargs,
+) -> Tuple[CLIP, Optional[dict]]:
+    """Build a CLIP module (+ initialized or pretrained variables).
+
+    Mirrors reference `create_model` (factory.py:216-429); returns the Flax
+    module and its variables dict (None when `init_params=False` and no
+    pretrained weights were requested).
+    """
+    model_name = model_name.replace("/", "-")
+    cfg = get_model_config(model_name)
+    if cfg is None:
+        raise RuntimeError(f"Model config for {model_name} not found; available: {list_models()}")
+
+    if force_quick_gelu:
+        cfg["quick_gelu"] = True
+    if force_patch_dropout is not None:
+        cfg["vision_cfg"]["patch_dropout"] = force_patch_dropout
+    if force_image_size is not None:
+        cfg["vision_cfg"]["image_size"] = force_image_size
+    if force_context_length is not None:
+        cfg["text_cfg"]["context_length"] = force_context_length
+
+    # RN50-style configs encode layers as a list; drop null patch_size.
+    if cfg["vision_cfg"].get("patch_size") is None:
+        cfg["vision_cfg"].pop("patch_size")
+    cfg.update(model_kwargs)
+
+    dtype = _cast_dtype(precision)
+    model = CLIP(
+        embed_dim=cfg["embed_dim"],
+        vision_cfg=cfg["vision_cfg"],
+        text_cfg=cfg["text_cfg"],
+        quick_gelu=cfg.get("quick_gelu", False),
+        init_logit_scale=cfg.get("init_logit_scale", np.log(1 / 0.07)),
+        init_logit_bias=cfg.get("init_logit_bias"),
+        logit_scale_trainable=logit_scale_trainable,
+        scan_layers=scan_layers,
+        remat=grad_checkpointing,
+        dtype=dtype,
+    )
+
+    variables = None
+    if init_params or pretrained:
+        image_size = cfg["vision_cfg"]["image_size"]
+        if isinstance(image_size, int):
+            image_size = (image_size, image_size)
+        context_length = cfg["text_cfg"].get("context_length", DEFAULT_CONTEXT_LENGTH)
+        sample_img = jnp.zeros((1,) + tuple(image_size) + (3,), jnp.float32)
+        sample_txt = jnp.zeros((1, context_length), jnp.int32)
+        variables = model.init(jax.random.key(rng_seed), sample_img, sample_txt)
+        variables = dict(variables)  # unfreeze top level
+
+    if pretrained:
+        from .checkpoint import load_torch_checkpoint
+
+        patch = cfg["vision_cfg"].get("patch_size")
+        grid = None
+        if patch is not None:
+            image_size = cfg["vision_cfg"]["image_size"]
+            if isinstance(image_size, int):
+                image_size = (image_size, image_size)
+            grid = (image_size[0] // patch, image_size[1] // patch)
+        loaded = load_torch_checkpoint(
+            pretrained,
+            scan_layers=scan_layers,
+            image_grid=grid,
+            context_length=cfg["text_cfg"].get("context_length"),
+        )
+        # Overlay loaded params onto the init template (keeps missing keys).
+        def overlay(template, new):
+            if isinstance(template, dict):
+                return {
+                    k: overlay(template[k], new[k]) if k in new else template[k]
+                    for k in template
+                }
+            return new
+
+        variables["params"] = overlay(variables["params"], loaded)
+        logging.info(f"Loaded pretrained weights from {pretrained}")
+
+    return model, variables
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    *,
+    image_mean: Optional[Tuple[float, ...]] = None,
+    image_std: Optional[Tuple[float, ...]] = None,
+    image_interpolation: Optional[str] = None,
+    image_resize_mode: Optional[str] = None,
+    aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
+    **kwargs,
+):
+    """Reference `create_model_and_transforms` (factory.py:506-564):
+    (model, variables, train_transform, eval_transform)."""
+    model, variables = create_model(model_name, pretrained, precision, **kwargs)
+
+    cfg = get_model_config(model_name) or {}
+    pp_overlay = {
+        "mean": image_mean,
+        "std": image_std,
+        "interpolation": image_interpolation,
+        "resize_mode": image_resize_mode,
+        "size": kwargs.get("force_image_size") or cfg.get("vision_cfg", {}).get("image_size"),
+    }
+    pp_cfg = PreprocessCfg(**merge_preprocess_dict(PreprocessCfg(), pp_overlay))
+    train_t = image_transform_v2(pp_cfg, is_train=True, aug_cfg=aug_cfg)
+    eval_t = image_transform_v2(pp_cfg, is_train=False)
+    return model, variables, train_t, eval_t
+
+
+def create_model_from_pretrained(
+    model_name: str,
+    pretrained: str,
+    precision: str = "fp32",
+    **kwargs,
+):
+    """Reference `create_model_from_pretrained` (factory.py:567-617)."""
+    model, variables, _, eval_t = create_model_and_transforms(
+        model_name, pretrained=pretrained, precision=precision, **kwargs
+    )
+    return model, variables, eval_t
+
+
+def create_loss(args) -> Callable[..., dict]:
+    """Flag-based loss dispatch (reference factory.py:432-503).
+
+    `args` is any object/namespace with the reference CLI flags. Returns a
+    loss callable `fn(**features, axis_name=None) -> dict` with the chosen
+    hyperparameters bound. The `visiononly`/`distance`/`lam` paths — which
+    NameError in the reference snapshot — are implemented here.
+    """
+    get = lambda name, default=None: getattr(args, name, default)
+
+    if get("distill"):
+        return partial(distill_clip_loss, gather_with_grad=get("gather_with_grad", True))
+    if "coca" in (get("model", "") or "").lower():
+        return partial(
+            coca_loss,
+            caption_loss_weight=get("coca_caption_loss_weight", 2.0),
+            clip_loss_weight=get("coca_contrastive_loss_weight", 1.0),
+            gather_with_grad=get("gather_with_grad", True),
+        )
+    if get("siglip"):
+        return partial(siglip_loss, impl=get("loss_dist_impl", "bidir"))
+    if get("multipositiveloss"):
+        if get("visiononly"):
+            return partial(
+                multipositive_clip_loss_vision_only,
+                gather_with_grad=get("gather_with_grad", True),
+            )
+        if get("distance"):
+            return partial(
+                multipositive_clip_loss_with_distance,
+                delta=get("delta", 0.5),
+                gather_with_grad=get("gather_with_grad", True),
+            )
+        return partial(
+            multipositive_clip_loss,
+            delta=get("delta", 0.5),
+            gather_with_grad=get("gather_with_grad", True),
+        )
+    if get("lam") is not None and get("lam"):
+        return partial(
+            multipositive_clip_loss_with_vision,
+            lam=get("lam"),
+            gather_with_grad=get("gather_with_grad", True),
+        )
+    return partial(clip_loss, gather_with_grad=get("gather_with_grad", True))

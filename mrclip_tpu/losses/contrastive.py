@@ -59,13 +59,22 @@ def _rank_offset(axis_name: Optional[str], batch: int):
 
 
 def _pair_logits(
-    image_features, text_features, logit_scale, axis_name, gather_with_grad
+    image_features, text_features, logit_scale, axis_name, gather_with_grad,
+    constrain=None,
 ):
-    """(logits_per_image, logits_per_text) in local x global layout."""
+    """(logits_per_image, logits_per_text) in local x global layout.
+
+    `constrain` (GSPMD mode): sharding-constraint callable applied to the
+    logit matrices so the N x N pairwise block stays row-sharded across the
+    mesh (the jit-with-sharding equivalent of the reference's `local_loss`
+    B x WB memory layout).
+    """
     all_img = gather_features(image_features, axis_name, gather_with_grad=gather_with_grad)
     all_txt = gather_features(text_features, axis_name, gather_with_grad=gather_with_grad)
     logits_i = logit_scale * image_features @ all_txt.T
     logits_t = logit_scale * text_features @ all_img.T
+    if constrain is not None:
+        logits_i, logits_t = constrain(logits_i), constrain(logits_t)
     return logits_i, logits_t
 
 
@@ -76,10 +85,11 @@ def clip_loss(
     *,
     axis_name: Optional[str] = None,
     gather_with_grad: bool = True,
+    constrain=None,
 ) -> dict:
     """Symmetric InfoNCE with arange labels (reference ClipLoss :68-139)."""
     logits_i, logits_t = _pair_logits(
-        image_features, text_features, logit_scale, axis_name, gather_with_grad
+        image_features, text_features, logit_scale, axis_name, gather_with_grad, constrain
     )
     offset = _rank_offset(axis_name, image_features.shape[0])
     loss = (arange_cross_entropy(logits_i, offset) + arange_cross_entropy(logits_t, offset)) / 2.0
@@ -95,6 +105,7 @@ def multipositive_clip_loss(
     delta: float = 0.5,
     axis_name: Optional[str] = None,
     gather_with_grad: bool = True,
+    constrain=None,
 ) -> dict:
     """Core MR-CLIP objective (reference MultiPositiveClipLoss :671-747).
 
@@ -102,7 +113,7 @@ def multipositive_clip_loss(
     `delta` weights image->text vs text->image.
     """
     logits_i, logits_t = _pair_logits(
-        image_features, text_features, logit_scale, axis_name, gather_with_grad
+        image_features, text_features, logit_scale, axis_name, gather_with_grad, constrain
     )
     all_labels = gather_features(labels, axis_name, gather_with_grad=True) if axis_name else labels
     pos_mask = pos_mask_from_labels(labels, all_labels)
@@ -129,11 +140,12 @@ def multipositive_clip_loss_with_distance(
     distance_fn: str = "weighted_euclidean",
     axis_name: Optional[str] = None,
     gather_with_grad: bool = True,
+    constrain=None,
 ) -> dict:
     """Distance-weighted multipositive loss
     (reference MultiPositiveClipLossWithDistance, loss copy.py:762-827)."""
     logits_i, logits_t = _pair_logits(
-        image_features, text_features, logit_scale, axis_name, gather_with_grad
+        image_features, text_features, logit_scale, axis_name, gather_with_grad, constrain
     )
     if axis_name is not None:
         all_labels = gather_features(labels, axis_name, gather_with_grad=True)
@@ -166,6 +178,7 @@ def multipositive_clip_loss_vision_only(
     *,
     axis_name: Optional[str] = None,
     gather_with_grad: bool = True,
+    constrain=None,
 ) -> dict:
     """Image<->image SupCon, diagonal (self) pairs excluded
     (reference MultiPositiveClipLossVisionOnly, loss copy.py:829-892)."""
@@ -196,7 +209,7 @@ def multipositive_clip_loss_with_vision(
     """i2t + t2i + lambda * img2img three-term variant
     (reference MultiPositiveClipLosswithVision, loss copy.py:894-976)."""
     logits_i, logits_t = _pair_logits(
-        image_features, text_features, logit_scale, axis_name, gather_with_grad
+        image_features, text_features, logit_scale, axis_name, gather_with_grad, constrain
     )
     all_img = gather_features(image_features, axis_name, gather_with_grad=gather_with_grad)
     logits_ii = logit_scale * image_features @ all_img.T
@@ -337,11 +350,12 @@ def distill_clip_loss(
     *,
     axis_name: Optional[str] = None,
     gather_with_grad: bool = True,
+    constrain=None,
 ) -> dict:
     """ClipLoss + teacher->student soft CE both directions
     (reference DistillClipLoss :187-223)."""
     logits_i, logits_t = _pair_logits(
-        image_features, text_features, logit_scale, axis_name, gather_with_grad
+        image_features, text_features, logit_scale, axis_name, gather_with_grad, constrain
     )
     t_logits_i, t_logits_t = _pair_logits(
         dist_image_features, dist_text_features, dist_logit_scale, axis_name, True

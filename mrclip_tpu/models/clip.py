@@ -93,9 +93,11 @@ class CLIPTextCfg:
     hf_pooler_type: str = "mean_pooler"
 
 
-def _filter_cfg(cfg_cls, d: dict):
+def _filter_cfg(cfg_cls, d):
+    if isinstance(d, cfg_cls):
+        return d
     names = {f.name for f in dataclasses.fields(cfg_cls)}
-    return cfg_cls(**{k: v for k, v in d.items() if k in names})
+    return cfg_cls(**{k: v for k, v in dict(d).items() if k in names})
 
 
 def build_vision_tower(
@@ -108,8 +110,7 @@ def build_vision_tower(
     name: str = "visual",
 ) -> nn.Module:
     """Select + build the vision tower (reference model.py:105-171)."""
-    if isinstance(vision_cfg, dict):
-        vision_cfg = _filter_cfg(CLIPVisionCfg, vision_cfg)
+    vision_cfg = _filter_cfg(CLIPVisionCfg, vision_cfg)
     act = quick_gelu if quick_gelu_act else gelu_exact
 
     if vision_cfg.timm_model_name:
@@ -165,8 +166,7 @@ def build_text_tower(
     name: str = "text",
 ) -> nn.Module:
     """Select + build the text tower (reference model.py:174-219)."""
-    if isinstance(text_cfg, dict):
-        text_cfg = _filter_cfg(CLIPTextCfg, text_cfg)
+    text_cfg = _filter_cfg(CLIPTextCfg, text_cfg)
     if text_cfg.hf_model_name:
         from .hf_text import HFTextEncoder
 

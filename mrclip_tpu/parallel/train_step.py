@@ -1,0 +1,360 @@
+"""Train state, optimizer, and jitted/sharded train step.
+
+TPU-native re-design of the reference hot loop (`src/open_clip_train/
+train.py:70-269` + optimizer build `main.py:339-378`):
+
+- AdamW with the reference's weight-decay split (no decay for 1-D params,
+  biases, logit_scale; main.py:344-350) via an optax mask.
+- One jitted train step over the (data, fsdp, model) mesh: forward (bf16
+  compute), global-batch contrastive loss (XLA inserts the ICI all-gathers;
+  logits constrained row-sharded = the reference's `local_loss` memory
+  layout), grad, update, logit-scale clamp to ln(100) (train.py:209-210).
+  DDP's gradient all-reduce is implicit in GSPMD's psum.
+- Gradient accumulation: (a) plain microbatch `lax.scan` grad averaging and
+  (b) the reference's cached-feature scheme (train.py:134-183) — a no-grad
+  pass caches all microbatch features, then each microbatch re-forwards with
+  grads against the full accumulated negative set.
+- `donate` on the state keeps params/opt buffers in place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import batch_spec, replicate, shard_params
+
+__all__ = [
+    "TrainState",
+    "create_optimizer",
+    "create_train_state",
+    "build_train_step",
+    "build_eval_step",
+    "LOGIT_SCALE_MAX",
+]
+
+LOGIT_SCALE_MAX = float(np.log(100.0))
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None  # RN50 towers carry BN running stats
+    constants: Any = None  # non-trainable variables (frozen logit_scale, sincos pos)
+
+    def variables(self) -> dict:
+        out = {"params": self.params}
+        if self.batch_stats is not None:
+            out["batch_stats"] = self.batch_stats
+        if self.constants is not None:
+            out["constants"] = self.constants
+        return out
+
+
+def _wd_mask(params) -> Any:
+    """True where weight decay applies (reference main.py:344-350: exclude
+    ndim < 2, anything bn-like, biases, logit_scale/bias)."""
+
+    def decide(path, leaf):
+        name = jax.tree_util.keystr(path).lower()
+        if leaf.ndim < 2:
+            return False
+        if "bn" in name or "batchnorm" in name or "logit" in name:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def create_optimizer(
+    *,
+    lr: Callable | float,
+    beta1: float = 0.9,
+    beta2: float = 0.98,
+    eps: float = 1e-6,
+    wd: float = 0.2,
+    grad_clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """AdamW matching reference ViT defaults (params.py:5-11) with the
+    decay mask; optional global-norm clipping (train.py:188-198)."""
+    tx = optax.adamw(
+        learning_rate=lr,
+        b1=beta1,
+        b2=beta2,
+        eps=eps,
+        weight_decay=wd,
+        mask=_wd_mask,
+    )
+    if grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    return tx
+
+
+def create_train_state(
+    variables: dict, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None
+) -> TrainState:
+    """Build (and optionally shard onto the mesh) the full train state."""
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats"),
+        constants=variables.get("constants"),
+    )
+    if mesh is not None:
+        p_shard = shard_params(params, mesh)
+        rep = replicate(mesh)
+        params = jax.tree.map(jax.device_put, params, p_shard)
+        # Adam moments mirror the param tree: jit sharding propagation gives
+        # them the params' shardings (ZeRO-style, no replicated copies).
+        opt_state = jax.jit(tx.init)(params)
+        state = TrainState(
+            step=jax.device_put(state.step, rep),
+            params=params,
+            opt_state=opt_state,
+            batch_stats=jax.tree.map(lambda x: jax.device_put(x, rep), state.batch_stats)
+            if state.batch_stats is not None
+            else None,
+            constants=jax.tree.map(lambda x: jax.device_put(x, rep), state.constants)
+            if state.constants is not None
+            else None,
+        )
+    return state
+
+
+def _clamp_logit_scale(params):
+    """In-place-equivalent clamp to ln(100) (reference train.py:209-210)."""
+    if "logit_scale" in params:
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0, LOGIT_SCALE_MAX)
+    return params
+
+
+def _forward(model, variables, batch, rng, train: bool):
+    mutable = ["batch_stats"] if (train and variables.get("batch_stats")) else False
+    kwargs = dict(deterministic=not train)
+    if rng is not None and train:
+        kwargs["rngs"] = {"dropout": rng}
+    out = model.apply(variables, batch["images"], batch["tokens"], mutable=mutable, **kwargs)
+    if mutable:
+        return out  # (out_dict, new_mutables)
+    return out, {}
+
+
+def make_loss_apply(loss_fn: Callable[..., dict], mesh: Optional[Mesh] = None) -> Callable:
+    """Adapt a factory loss to `(model_out, batch) -> dict`.
+
+    Inspects the loss signature for optional inputs (labels, TE/TR) and, in
+    mesh mode, installs the row-sharded logits constraint.
+    """
+    import inspect
+
+    sig_params = None
+    fn = loss_fn
+    while isinstance(fn, partial):
+        fn = fn.func
+    sig_params = set(inspect.signature(fn).parameters)
+
+    constrain = None
+    if mesh is not None and "constrain" in sig_params:
+        spec = NamedSharding(mesh, P(batch_spec()[0], None))
+        constrain = lambda x: jax.lax.with_sharding_constraint(x, spec)
+
+    def loss_apply(model_out: dict, batch: dict) -> dict:
+        kwargs = {}
+        if "labels" in sig_params and "labels" in batch:
+            kwargs["labels"] = batch["labels"]
+        if "echo_time" in sig_params:
+            kwargs["echo_time"] = batch["echo_time"]
+            kwargs["repetition_time"] = batch["repetition_time"]
+        if "logit_bias" in sig_params:
+            kwargs["logit_bias"] = model_out.get("logit_bias", jnp.float32(0.0))
+        if constrain is not None:
+            kwargs["constrain"] = constrain
+
+        args = [model_out["image_features"]]
+        if "text_features" in sig_params:
+            args.append(model_out["text_features"])
+        if "labels" in sig_params and "labels" not in kwargs:
+            raise ValueError("loss requires per-sample labels but batch has none")
+        # positional labels for the multipositive family
+        if "labels" in kwargs and "labels" in sig_params:
+            params_order = list(inspect.signature(fn).parameters)
+            if params_order.index("labels") < params_order.index("logit_scale"):
+                args.append(kwargs.pop("labels"))
+        if "echo_time" in kwargs:
+            args.extend([kwargs.pop("echo_time"), kwargs.pop("repetition_time")])
+        args.append(model_out["logit_scale"])
+        if "logit_bias" in kwargs:
+            args.append(kwargs.pop("logit_bias"))
+        return loss_fn(*args, **kwargs)
+
+    return loss_apply
+
+
+def build_train_step(
+    model,
+    loss_apply: Callable[[dict, dict], dict],
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    *,
+    accum_freq: int = 1,
+    cached_features_accum: bool = False,
+    donate: bool = True,
+):
+    """Compile the train step.
+
+    batch: {'images': [N,H,W,3], 'tokens': [N,L], optional 'labels', TE/TR}.
+    With `accum_freq > 1` the leading dim must be `accum_freq * microbatch`.
+    Returns `step_fn(state, batch, rng) -> (state, metrics)`.
+    """
+
+    def compute_grads(params, state, batch, rng):
+        def loss_fn(params):
+            variables = {**state.variables(), "params": params}
+            out, new_mut = _forward(model, variables, batch, rng, train=True)
+            ldict = loss_apply(out, batch)
+            return ldict["loss"], (ldict, new_mut)
+
+        (loss, (ldict, new_mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, ldict, new_mut
+
+    def apply_updates(state, grads, ldict, new_mut):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = _clamp_logit_scale(params)
+        metrics = dict(ldict)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                batch_stats=new_mut.get("batch_stats", state.batch_stats),
+            ),
+            metrics,
+        )
+
+    if accum_freq == 1:
+
+        def step_fn(state, batch, rng):
+            grads, ldict, new_mut = compute_grads(state.params, state, batch, rng)
+            return apply_updates(state, grads, ldict, new_mut)
+
+    elif not cached_features_accum:
+        # Plain microbatch accumulation: mean of per-microbatch grads.
+        def step_fn(state, batch, rng):
+            def micro(i, batch):
+                return jax.tree.map(
+                    lambda x: x.reshape((accum_freq, -1) + x.shape[1:])[i], batch
+                )
+
+            rngs = jax.random.split(rng, accum_freq)
+
+            def body(carry, i):
+                grad_sum, loss_sum = carry
+                grads, ldict, _ = compute_grads(state.params, state, micro(i, batch), rngs[i])
+                return (
+                    jax.tree.map(jnp.add, grad_sum, grads),
+                    loss_sum + ldict["loss"],
+                ), None
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (grad_sum, loss_sum), _ = jax.lax.scan(
+                body, (zero, jnp.float32(0.0)), jnp.arange(accum_freq)
+            )
+            grads = jax.tree.map(lambda g: g / accum_freq, grad_sum)
+            return apply_updates(state, grads, {"loss": loss_sum / accum_freq}, {})
+
+    else:
+        # Reference cached-feature scheme (train.py:134-183): pass 1 caches
+        # features for all microbatches without grads; pass 2 re-forwards each
+        # microbatch, splicing its live features into the cached global set so
+        # every microbatch sees the full accumulated negatives.
+        def step_fn(state, batch, rng):
+            def micro(i):
+                return jax.tree.map(
+                    lambda x: x.reshape((accum_freq, -1) + x.shape[1:])[i], batch
+                )
+
+            rngs = jax.random.split(rng, accum_freq)
+            variables = state.variables()
+
+            def cache_one(i, _):
+                out, _mut = _forward(model, variables, micro(i), rngs[i], train=True)
+                return (out["image_features"], out["text_features"])
+
+            def cache_scan(carry, i):
+                return carry, cache_one(i, None)
+
+            _, (img_cache, txt_cache) = jax.lax.scan(
+                cache_scan, None, jnp.arange(accum_freq)
+            )
+            img_cache = jax.lax.stop_gradient(img_cache)  # [A, m, D]
+            txt_cache = jax.lax.stop_gradient(txt_cache)
+
+            def grads_one(i):
+                def loss_fn(params):
+                    vs = {**variables, "params": params}
+                    out, _mut = _forward(model, vs, micro(i), rngs[i], train=True)
+                    img = img_cache.at[i].set(out["image_features"])
+                    txt = txt_cache.at[i].set(out["text_features"])
+                    spliced = dict(
+                        out,
+                        image_features=img.reshape(-1, img.shape[-1]),
+                        text_features=txt.reshape(-1, txt.shape[-1]),
+                    )
+                    full_batch = batch  # loss uses full labels for pos_mask
+                    ldict = loss_apply(spliced, full_batch)
+                    return ldict["loss"], ldict
+
+                (loss, ldict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params
+                )
+                return grads, loss
+
+            def body(carry, i):
+                grad_sum, loss_sum = carry
+                grads, loss = grads_one(i)
+                return (jax.tree.map(jnp.add, grad_sum, grads), loss_sum + loss), None
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (grad_sum, loss_sum), _ = jax.lax.scan(
+                body, (zero, jnp.float32(0.0)), jnp.arange(accum_freq)
+            )
+            grads = jax.tree.map(lambda g: g / accum_freq, grad_sum)
+            return apply_updates(state, grads, {"loss": loss_sum / accum_freq}, {})
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+    batch_sharding = NamedSharding(mesh, batch_spec())
+    return jax.jit(
+        step_fn,
+        donate_argnums=donate_argnums,
+        in_shardings=(None, batch_sharding, None),
+    )
+
+
+def build_eval_step(model, mesh: Optional[Mesh] = None):
+    """Jitted inference step: (variables, batch) -> features dict."""
+
+    def eval_fn(variables, batch):
+        out, _ = _forward(model, variables, batch, None, train=False)
+        return out
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    batch_sharding = NamedSharding(mesh, batch_spec())
+    return jax.jit(eval_fn, in_shardings=(None, batch_sharding))
