@@ -1,0 +1,199 @@
+"""Data pipelines: CSV/synthetic/tar-shard datasets + loader assembly.
+
+`get_data` mirrors reference `src/open_clip_train/data.py:556-598`: builds a
+dict of train/val DataInfos with dataset-type dispatch (webdataset / csv /
+csv-unique-sampler / synthetic / auto-by-extension).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from .csv_dataset import (
+    CsvDataset,
+    CsvTabularDataset,
+    DistributedSampler,
+    Unique3DSampler,
+    UniqueLabelSampler,
+    extract_3d_image_id,
+    extract_times,
+)
+from .loader import DataLoader, default_collate
+from .shards import ShardedTarDataset, expand_urls, get_dataset_size
+from .synthetic import SyntheticDataset
+
+__all__ = [
+    "CsvDataset",
+    "CsvTabularDataset",
+    "DistributedSampler",
+    "UniqueLabelSampler",
+    "Unique3DSampler",
+    "SyntheticDataset",
+    "ShardedTarDataset",
+    "DataLoader",
+    "DataInfo",
+    "get_data",
+    "extract_times",
+    "extract_3d_image_id",
+    "expand_urls",
+    "get_dataset_size",
+]
+
+
+@dataclass
+class DataInfo:
+    """Loader + sampler bundle (reference data.py:88-100)."""
+
+    dataloader: DataLoader
+    sampler: Any = None
+    shared_epoch: Any = None
+
+    def set_epoch(self, epoch: int):
+        self.dataloader.set_epoch(epoch)
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+
+def _infer_dataset_type(data_path: str) -> str:
+    """Auto dispatch by extension (reference data.py:561-575)."""
+    ext = data_path.split(".")[-1]
+    if ext in ("csv", "tsv"):
+        return "csv"
+    if ext in ("tar",) or "{" in data_path:
+        return "webdataset"
+    raise ValueError(f"Cannot infer dataset type from {data_path}")
+
+
+def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0):
+    sep = getattr(args, "csv_separator", ",")
+    dataset_type = getattr(args, "dataset_type", "csv")
+    with_times = bool(getattr(args, "distance", False))
+    if getattr(args, "tabular", False):
+        dataset = CsvTabularDataset(
+            path,
+            transform,
+            img_key=getattr(args, "csv_img_key", "filepath"),
+            caption_key=getattr(args, "csv_caption_key", "title"),
+            sep=sep,
+            tokenizer=tokenizer,
+            corruption_rate=getattr(args, "corruption_rate", 0.0),
+            one_hot=getattr(args, "one_hot_tabular", False),
+        )
+    else:
+        dataset = CsvDataset(
+            path,
+            transform,
+            img_key=getattr(args, "csv_img_key", "filepath"),
+            caption_key=getattr(args, "csv_caption_key", "title"),
+            sep=sep,
+            tokenizer=tokenizer,
+            with_times=with_times,
+        )
+
+    rank = getattr(args, "rank", 0)
+    world_size = getattr(args, "world_size", 1)
+    seed = getattr(args, "seed", 0)
+    batch_size = args.batch_size
+
+    if is_train and dataset_type == "csv-unique-sampler":
+        if getattr(args, "unique3d", False):
+            sampler = Unique3DSampler(
+                dataset.labels, dataset.volume_ids, batch_size, rank, world_size, seed
+            )
+        else:
+            sampler = UniqueLabelSampler(dataset.labels, batch_size, rank, world_size, seed)
+    elif is_train:
+        sampler = DistributedSampler(len(dataset), rank, world_size, shuffle=True, seed=seed)
+    else:
+        sampler = DistributedSampler(len(dataset), 0, 1, shuffle=False)
+
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        sampler=sampler,
+        num_workers=getattr(args, "workers", 4),
+        drop_last=is_train,
+    )
+    return DataInfo(loader, sampler)
+
+
+def _build_synthetic(args, transform, tokenizer, is_train: bool):
+    image_size = getattr(args, "image_size", 224)
+    if isinstance(image_size, int):
+        image_size = (image_size, image_size)
+    dataset = SyntheticDataset(
+        transform=transform,
+        image_size=image_size,
+        dataset_size=getattr(args, "train_num_samples", 256),
+        tokenizer=tokenizer,
+    )
+    sampler = DistributedSampler(
+        len(dataset),
+        getattr(args, "rank", 0),
+        getattr(args, "world_size", 1),
+        shuffle=is_train,
+        seed=getattr(args, "seed", 0),
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=args.batch_size,
+        sampler=sampler,
+        num_workers=getattr(args, "workers", 4),
+        drop_last=is_train,
+    )
+    return DataInfo(loader, sampler)
+
+
+def _build_wds(args, path, transform, tokenizer, is_train: bool):
+    dataset = ShardedTarDataset(
+        path,
+        transform=transform,
+        tokenizer=tokenizer,
+        rank=getattr(args, "rank", 0),
+        world_size=getattr(args, "world_size", 1),
+        seed=getattr(args, "seed", 0),
+        shuffle=is_train,
+        resampled=getattr(args, "dataset_resampled", False),
+        weights=getattr(args, "train_data_upsampling_factors", None) if is_train else None,
+    )
+    num_samples, _ = get_dataset_size(path)
+    if num_samples is None:
+        num_samples = getattr(args, "train_num_samples" if is_train else "val_num_samples", 0) or 0
+    loader = DataLoader(
+        dataset,
+        batch_size=args.batch_size,
+        sampler=None,
+        num_workers=1,  # iterable dataset: single in-order worker
+        drop_last=is_train,
+        length=num_samples // args.batch_size if num_samples else None,
+    )
+    return DataInfo(loader, dataset)
+
+
+def get_data(args, preprocess_fns, epoch: int = 0, tokenizer: Optional[Callable] = None) -> dict:
+    """Assemble train/val DataInfos (reference data.py:556-598)."""
+    preprocess_train, preprocess_val = preprocess_fns
+    data = {}
+
+    train_path = getattr(args, "train_data", None)
+    val_path = getattr(args, "val_data", None)
+    dataset_type = getattr(args, "dataset_type", "auto")
+
+    def dispatch(path, transform, is_train):
+        dtype = dataset_type
+        if dtype == "auto" and path:
+            dtype = _infer_dataset_type(path)
+        if dtype == "synthetic":
+            return _build_synthetic(args, transform, tokenizer, is_train)
+        if dtype == "webdataset":
+            return _build_wds(args, path, transform, tokenizer, is_train)
+        return _build_csv(args, path, transform, tokenizer, is_train, epoch)
+
+    if train_path or dataset_type == "synthetic":
+        data["train"] = dispatch(train_path, preprocess_train, True)
+    if val_path:
+        data["val"] = dispatch(val_path, preprocess_val, False)
+    return data
