@@ -1,0 +1,106 @@
+"""Throughput benchmark: image-text pairs/sec/chip, ViT-B/16 global-batch
+InfoNCE training step (the BASELINE.json north-star metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: open_clip ViT-B/16 on a single A100 (AMP, torch DDP) sustains
+roughly 700 image-text pairs/sec/GPU (LAION training logs; the reference
+repo itself publishes no numbers — BASELINE.md). vs_baseline = value / 700.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+A100_OPENCLIP_VITB16_PAIRS_PER_SEC = 700.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="tiny model, few steps (CI)")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--model", type=str, default=None)
+    parser.add_argument("--remat", action="store_true", help="per-block grad checkpointing")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mrclip_tpu.factory import create_loss, create_model
+    from mrclip_tpu.parallel import (
+        build_train_step,
+        create_optimizer,
+        create_train_state,
+        make_loss_apply,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if args.quick or not on_tpu:
+        model_name = args.model or "ViT-B-32-mini"
+        batch = args.batch_size or 16
+        img_size, ctx = 64, 32
+        steps = min(args.steps, 5)
+    else:
+        model_name = args.model or "ViT-B-16"
+        batch = args.batch_size or 256
+        img_size, ctx = 224, 98
+        steps = args.steps
+
+    model, variables = create_model(
+        model_name,
+        precision="bf16" if on_tpu else "fp32",
+        grad_checkpointing=args.remat,
+    )
+
+    class LossArgs:
+        multipositiveloss = True
+        delta = 0.5
+        distance = visiononly = siglip = distill = False
+        lam = None
+        model = model_name
+        gather_with_grad = True
+
+    tx = create_optimizer(lr=1e-4, wd=0.2)
+    state = create_train_state(variables, tx)
+    step = build_train_step(model, make_loss_apply(create_loss(LossArgs())), tx, donate=True)
+
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "images": jnp.asarray(rng.rand(batch, img_size, img_size, 3), jnp.float32),
+        "tokens": jnp.asarray(rng.randint(1, 49408, (batch, ctx)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 32, (batch,)), jnp.int32),
+    }
+    key = jax.random.key(0)
+
+    # warmup / compile
+    state, metrics = step(state, batch_data, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * steps / dt
+    n_chips = jax.device_count() if on_tpu else 1
+    value = pairs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": f"image-text pairs/sec/chip ({model_name} multipositive InfoNCE train step)",
+                "value": round(value, 2),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -231,5 +231,15 @@ def load_checkpoint(ckpt_dir: str, step: Optional[int] = None, template: Any = N
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
         if template is not None:
-            return mgr.restore(step, args=ocp.args.StandardRestore(template))
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+            # Re-place every leaf on its template sharding: orbax restores
+            # scalars single-device, which breaks jitted steps expecting
+            # mesh-consistent state.
+            def replace(t, r):
+                if hasattr(t, "sharding"):
+                    return jax.device_put(r, t.sharding)
+                return r
+
+            return jax.tree.map(replace, template, restored)
         return mgr.restore(step)

@@ -186,18 +186,36 @@ def create_model(
     cfg.update(model_kwargs)
 
     dtype = _cast_dtype(precision)
-    model = CLIP(
-        embed_dim=cfg["embed_dim"],
-        vision_cfg=cfg["vision_cfg"],
-        text_cfg=cfg["text_cfg"],
-        quick_gelu=cfg.get("quick_gelu", False),
-        init_logit_scale=cfg.get("init_logit_scale", np.log(1 / 0.07)),
-        init_logit_bias=cfg.get("init_logit_bias"),
-        logit_scale_trainable=logit_scale_trainable,
-        scan_layers=scan_layers,
-        remat=grad_checkpointing,
-        dtype=dtype,
-    )
+    is_coca = "multimodal_cfg" in cfg or "coca" in model_name.lower()
+    if is_coca:
+        # CoCa selection (reference factory.py:338-344).
+        from .models import CoCa
+
+        model = CoCa(
+            embed_dim=cfg["embed_dim"],
+            multimodal_cfg=cfg["multimodal_cfg"],
+            text_cfg=cfg["text_cfg"],
+            vision_cfg=cfg["vision_cfg"],
+            quick_gelu=cfg.get("quick_gelu", False),
+            init_logit_scale=cfg.get("init_logit_scale", np.log(1 / 0.07)),
+            init_logit_bias=cfg.get("init_logit_bias"),
+            scan_layers=scan_layers,
+            remat=grad_checkpointing,
+            dtype=dtype,
+        )
+    else:
+        model = CLIP(
+            embed_dim=cfg["embed_dim"],
+            vision_cfg=cfg["vision_cfg"],
+            text_cfg=cfg["text_cfg"],
+            quick_gelu=cfg.get("quick_gelu", False),
+            init_logit_scale=cfg.get("init_logit_scale", np.log(1 / 0.07)),
+            init_logit_bias=cfg.get("init_logit_bias"),
+            logit_scale_trainable=logit_scale_trainable,
+            scan_layers=scan_layers,
+            remat=grad_checkpointing,
+            dtype=dtype,
+        )
 
     variables = None
     if init_params or pretrained:

@@ -22,3 +22,4 @@ from .resnet import AttentionPool2d, Bottleneck, ModifiedResNet
 from .text import TextTransformer
 from .transformer import ResidualAttentionBlock, Transformer, text_global_pool
 from .vision import VisionTransformer
+from .coca import CoCa, MultimodalCfg, MultimodalTransformer, generate

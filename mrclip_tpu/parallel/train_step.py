@@ -118,6 +118,16 @@ def create_train_state(
         # Adam moments mirror the param tree: jit sharding propagation gives
         # them the params' shardings (ZeRO-style, no replicated copies).
         opt_state = jax.jit(tx.init)(params)
+        mesh_devices = set(np.asarray(mesh.devices).flat)
+
+        def ensure_on_mesh(x):
+            # Freshly-created scalars (step counts) can land on one device;
+            # everything must span the mesh for the jitted step.
+            if hasattr(x, "sharding") and set(x.sharding.device_set) != mesh_devices:
+                return jax.device_put(x, rep)
+            return x
+
+        opt_state = jax.tree.map(ensure_on_mesh, opt_state)
         state = TrainState(
             step=jax.device_put(state.step, rep),
             params=params,

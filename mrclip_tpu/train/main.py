@@ -1,0 +1,246 @@
+"""Training entry point: `python -m mrclip_tpu.train.main <flags>`.
+
+Capability parity with reference `src/open_clip_train/main.py:88-573` (see
+SURVEY.md §3.1): experiment naming, logging, model+transforms construction,
+tower locking, optimizer/schedule, resume, data assembly, optional
+linear-probe/test-metrics modes, epoch loop with checkpointing + eval, and
+the background remote-sync daemon.
+
+TPU re-design: one process drives all local devices through a
+(data, fsdp, model) mesh (multi-host via jax.distributed); DDP wrap, device
+placement, GradScaler, and torch.compile steps disappear — the jitted train
+step subsumes them.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import random
+import sys
+import time
+from datetime import datetime
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import checkpoint as ckpt
+from ..factory import create_loss, create_model_and_transforms, get_tokenizer
+from ..data import get_data
+from ..ops.image_ops import random_augment_batch
+from ..parallel import (
+    build_train_step,
+    create_mesh,
+    create_optimizer,
+    create_train_state,
+    init_distributed,
+    make_loss_apply,
+)
+from ..parallel.freeze import build_trainable_mask, chain_with_mask
+from .logger import setup_logging
+from .loop import evaluate, linear_probe, test_metrics, train_one_epoch
+from .params import parse_args
+from .scheduler import create_scheduler
+from .file_utils import remote_sync, start_sync_process
+
+LATEST_CHECKPOINT_NAME = "epoch_latest"
+
+
+def random_seed(seed=42, rank=0):
+    """Reference main.py:61-64."""
+    np.random.seed(seed + rank)
+    random.seed(seed + rank)
+
+
+def get_latest_checkpoint(path: str):
+    return ckpt.latest_step(path)
+
+
+def main(args=None):
+    args = parse_args(args)
+
+    rank, world_size = init_distributed()
+    args.rank = rank
+    args.world_size = world_size
+    args.distributed = world_size > 1
+
+    # experiment naming (reference main.py:104-118)
+    if args.name is None:
+        model_name_safe = args.model.replace("/", "-")
+        date_str = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+        args.name = "-".join([
+            date_str,
+            f"model_{model_name_safe}",
+            f"lr_{args.lr}",
+            f"b_{args.batch_size}",
+            f"p_{args.precision}",
+        ])
+
+    log_base_path = os.path.join(args.logs, args.name)
+    args.log_path = None
+    if rank == 0 or args.log_local:
+        os.makedirs(log_base_path, exist_ok=True)
+        args.log_path = os.path.join(log_base_path, "out.log")
+
+    args.log_level = logging.DEBUG if args.debug else logging.INFO
+    setup_logging(args.log_path, args.log_level)
+
+    args.checkpoint_path = os.path.join(log_base_path, "checkpoints")
+    if rank == 0:
+        os.makedirs(args.checkpoint_path, exist_ok=True)
+
+    if args.precision == "fp16":
+        logging.warning("fp16 maps to bf16 on TPU (no GradScaler needed).")
+
+    random_seed(args.seed, 0)
+
+    # model + transforms (reference main.py:241-294)
+    model, variables, preprocess_train, preprocess_val = create_model_and_transforms(
+        args.model,
+        pretrained=args.pretrained or None,
+        precision=args.precision,
+        force_quick_gelu=args.force_quick_gelu,
+        force_patch_dropout=args.force_patch_dropout,
+        force_image_size=tuple(args.force_image_size) if args.force_image_size else None,
+        logit_scale_trainable=not args.logitscaletrainable,
+        grad_checkpointing=args.grad_checkpointing,
+        aug_cfg=args.aug_cfg,
+        rng_seed=args.seed,
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    logging.info(f"Model: {args.model} ({n_params / 1e6:.1f}M params)")
+    logging.info(f"Devices: {jax.device_count()} ({jax.local_device_count()} local)")
+
+    if rank == 0:
+        params_file = os.path.join(log_base_path, "params.txt")
+        with open(params_file, "w") as f:
+            for name in sorted(vars(args)):
+                f.write(f"{name}: {getattr(args, name)}\n")
+
+    # mesh
+    n_dev = jax.device_count()
+    mesh = create_mesh(fsdp=args.mesh_fsdp, tp=args.mesh_tp) if n_dev > 1 else None
+    if mesh is not None:
+        logging.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    # remote sync daemon (reference main.py:187-207)
+    remote_sync_process = None
+    if args.remote_sync and rank == 0:
+        assert remote_sync(log_base_path, os.path.join(args.remote_sync, args.name), args.remote_sync_protocol)
+        remote_sync_process = start_sync_process(
+            args.remote_sync_frequency,
+            log_base_path,
+            os.path.join(args.remote_sync, args.name),
+            args.remote_sync_protocol,
+        )
+        remote_sync_process.start()
+
+    # data
+    tokenizer = get_tokenizer(args.model)
+    data = get_data(args, (preprocess_train, preprocess_val), epoch=0, tokenizer=tokenizer)
+    assert len(data), "At least one train or val dataset must be specified."
+
+    # optimizer + schedule
+    steps_per_epoch = len(data["train"].dataloader) // args.accum_freq if "train" in data else 0
+    total_steps = steps_per_epoch * args.epochs
+    schedule = None if args.skip_scheduler else create_scheduler(args, total_steps)
+    mask = build_trainable_mask(variables["params"], args)
+    tx = create_optimizer(
+        lr=schedule if schedule is not None else args.lr,
+        beta1=args.beta1,
+        beta2=args.beta2,
+        eps=args.eps,
+        wd=args.wd,
+        grad_clip_norm=args.grad_clip_norm,
+    )
+    tx = chain_with_mask(tx, mask)
+    state = create_train_state(variables, tx, mesh)
+
+    # resume (reference main.py:401-420)
+    start_epoch = 0
+    if args.resume:
+        if args.resume == "latest":
+            step = get_latest_checkpoint(args.checkpoint_path)
+            if step is not None:
+                state = ckpt.load_checkpoint(args.checkpoint_path, step, template=state)
+                start_epoch = int(step)
+                logging.info(f"=> resuming checkpoint (epoch {start_epoch})")
+        else:
+            state = ckpt.load_checkpoint(args.resume, template=state)
+            logging.info(f"=> loaded checkpoint '{args.resume}'")
+
+    # one-shot modes
+    if args.linear:
+        linear_probe(model, state, data, args)
+        return
+    if args.test:
+        test_metrics(model, state, data, args, tokenizer=tokenizer)
+        return
+
+    if "train" not in data:
+        evaluate(model, state, data, start_epoch, args, tokenizer=tokenizer)
+        return
+
+    # loss + step
+    loss_fn = create_loss(args)
+    step_fn = build_train_step(
+        model,
+        make_loss_apply(loss_fn, mesh),
+        tx,
+        mesh,
+        accum_freq=args.accum_freq,
+        cached_features_accum=args.cached_features_accum,
+    )
+
+    augment_fn = None
+    if args.device_augment:
+        size = model.vision_cfg["image_size"] if isinstance(model.vision_cfg, dict) else 224
+        if isinstance(size, int):
+            size = (size, size)
+        augment_fn = jax.jit(partial(random_augment_batch, out_size=tuple(size)))
+
+    writer = None
+    if "tensorboard" in (args.report_to or ""):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(log_base_path, "tensorboard"))
+        except ImportError:
+            logging.warning("tensorboard not available; skipping")
+
+    for epoch in range(start_epoch, args.epochs):
+        logging.info(f"Start epoch {epoch}")
+        state, train_metrics = train_one_epoch(
+            step_fn, state, data, epoch, args, mesh, schedule, writer, augment_fn
+        )
+        completed_epoch = epoch + 1
+
+        # checkpoint (reference main.py:522-555); orbax manager handles
+        # atomicity (the tmp+rename dance) and retention.
+        if rank == 0 and (
+            completed_epoch == args.epochs
+            or (args.save_frequency > 0 and completed_epoch % args.save_frequency == 0)
+        ):
+            keep = 1 if args.delete_previous_checkpoint else None
+            ckpt.save_checkpoint(args.checkpoint_path, completed_epoch, state, keep=keep)
+            logging.info(f"Saved checkpoint at epoch {completed_epoch}")
+
+        if "val" in data and (
+            completed_epoch % args.val_frequency == 0 or completed_epoch == args.epochs
+        ):
+            evaluate(model, state, data, completed_epoch, args, writer=writer, tokenizer=tokenizer)
+
+    if remote_sync_process is not None:
+        remote_sync_process.terminate()
+        logging.info("Final remote sync.")
+        remote_sync(log_base_path, os.path.join(args.remote_sync, args.name), args.remote_sync_protocol)
+
+    return state
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
