@@ -77,15 +77,16 @@ def main():
     }
     key = jax.random.key(0)
 
-    # warmup / compile
+    # warmup / compile (value fetch forces real execution through the runtime)
     state, metrics = step(state, batch_data, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])  # device->host sync of the whole chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     pairs_per_sec = batch * steps / dt
     n_chips = jax.device_count() if on_tpu else 1
