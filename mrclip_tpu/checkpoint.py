@@ -178,15 +178,29 @@ def import_torch_state_dict(
 
 
 def load_torch_checkpoint(path: str, **kwargs) -> dict:
-    """Load a `.pt`/`.bin`/`.safetensors` torch checkpoint into Flax params."""
+    """Load a `.pt`/`.bin`/`.safetensors`/`.npz` checkpoint into Flax params.
+
+    Handles plain state dicts, `{'state_dict': ...}` training checkpoints,
+    OpenAI TorchScript archives (reference openai.py:24-90), and big_vision
+    npz files (dispatched to `convert.convert_state_dict`).
+    """
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         sd = load_file(path)
+    elif path.endswith(".npz"):
+        from .convert import big_vision_npz_to_params
+
+        return big_vision_npz_to_params(np.load(path), **kwargs)
     else:
         import torch
 
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        except RuntimeError:
+            # OpenAI checkpoints are TorchScript archives (reference
+            # openai.py:40-55): pull the state dict out of the jit module.
+            ckpt = torch.jit.load(path, map_location="cpu").state_dict()
         sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt.state_dict()
     return import_torch_state_dict(sd, **kwargs)
 

@@ -1,0 +1,165 @@
+"""External-checkpoint converters (big_vision / SigLIP npz, MobileCLIP).
+
+Capability parity with reference `src/open_clip/convert.py`:
+- `load_big_vision_weights` (:13-150): official Google big_vision npz
+  (SigLIP) -> model params. big_vision is itself a Flax codebase, so the
+  mapping here is flax-to-flax (the reference has to transpose everything
+  into torch layout; we don't).
+- `convert_mobile_clip_state_dict` (:152-191): MobileCLIP checkpoints target
+  timm towers (torch-specific); detected and rejected with guidance.
+- `convert_state_dict` dispatch (:193-200).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+__all__ = ["big_vision_npz_to_params", "convert_state_dict"]
+
+
+def _fuse_qkv(w: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    """big_vision q/k/v [D, H, hd] + out [H, hd, D] -> fused in_proj/out_proj."""
+    d = w[f"{prefix}query/kernel"].shape[0]
+
+    def flat_in(name):
+        k = np.asarray(w[f"{prefix}{name}/kernel"]).reshape(d, -1)
+        b = np.asarray(w[f"{prefix}{name}/bias"]).reshape(-1)
+        return k, b
+
+    qk, qb = flat_in("query")
+    kk, kb = flat_in("key")
+    vk, vb = flat_in("value")
+    out_k = np.asarray(w[f"{prefix}out/kernel"]).reshape(-1, d)
+    out_b = np.asarray(w[f"{prefix}out/bias"]).reshape(-1)
+    return {
+        "in_proj": {
+            "kernel": np.concatenate([qk, kk, vk], axis=1),
+            "bias": np.concatenate([qb, kb, vb]),
+        },
+        "out_proj": {"kernel": out_k, "bias": out_b},
+    }
+
+
+def _convert_encoder_blocks(w: Mapping, prefix: str, n_layers: int, scan_layers: bool) -> dict:
+    """`{prefix}Transformer/encoderblock_{i}/...` -> our block tree."""
+    blocks = []
+    for i in range(n_layers):
+        bp = f"{prefix}Transformer/encoderblock_{i}/"
+        blk = {
+            "ln_1": {
+                "scale": np.asarray(w[f"{bp}LayerNorm_0/scale"]),
+                "bias": np.asarray(w[f"{bp}LayerNorm_0/bias"]),
+            },
+            "attn": _fuse_qkv(w, f"{bp}MultiHeadDotProductAttention_0/"),
+            "ln_2": {
+                "scale": np.asarray(w[f"{bp}LayerNorm_1/scale"]),
+                "bias": np.asarray(w[f"{bp}LayerNorm_1/bias"]),
+            },
+            "mlp": {
+                "c_fc": {
+                    "kernel": np.asarray(w[f"{bp}MlpBlock_0/Dense_0/kernel"]),
+                    "bias": np.asarray(w[f"{bp}MlpBlock_0/Dense_0/bias"]),
+                },
+                "c_proj": {
+                    "kernel": np.asarray(w[f"{bp}MlpBlock_0/Dense_1/kernel"]),
+                    "bias": np.asarray(w[f"{bp}MlpBlock_0/Dense_1/bias"]),
+                },
+            },
+        }
+        blocks.append(blk)
+    if scan_layers:
+        import jax
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+        return {"blocks": {"block": stacked}}
+    return {f"blocks_{i}": b for i, b in enumerate(blocks)}
+
+
+def _count_layers(w: Mapping, prefix: str) -> int:
+    n = 0
+    while f"{prefix}Transformer/encoderblock_{n}/LayerNorm_0/scale" in w:
+        n += 1
+    return n
+
+
+def big_vision_npz_to_params(w: Mapping, *, scan_layers: bool = True, **_ignored) -> dict:
+    """SigLIP-style big_vision npz -> Flax params for our CLIP.
+
+    Image tower under `img/`, text tower under `txt/`, temperature `t` and
+    bias `b` at the root (SigLIP convention).
+    """
+    params: dict = {}
+
+    if "params/img/embedding/kernel" in w:
+        w = {k[len("params/"):]: v for k, v in w.items()}
+
+    if "img/embedding/kernel" in w:
+        n_layers = _count_layers(w, "img/")
+        vis = {
+            "conv1": {"kernel": np.asarray(w["img/embedding/kernel"])},
+            "positional_embedding": np.asarray(w["img/pos_embedding"]).reshape(
+                -1, w["img/pos_embedding"].shape[-1]
+            ),
+            "ln_post": {
+                "scale": np.asarray(w["img/Transformer/encoder_norm/scale"]),
+                "bias": np.asarray(w["img/Transformer/encoder_norm/bias"]),
+            },
+            "transformer": _convert_encoder_blocks(w, "img/", n_layers, scan_layers),
+        }
+        if "img/cls" in w:
+            vis["class_embedding"] = np.asarray(w["img/cls"]).reshape(-1)
+        if "img/head/kernel" in w:
+            vis["proj"] = np.asarray(w["img/head/kernel"])
+        params["visual"] = vis
+
+    if "txt/Embed_0/embedding" in w:
+        n_layers = _count_layers(w, "txt/")
+        txt = {
+            "token_embedding": {"embedding": np.asarray(w["txt/Embed_0/embedding"])},
+            "positional_embedding": np.asarray(w["txt/pos_embedding"]).reshape(
+                -1, w["txt/pos_embedding"].shape[-1]
+            ),
+            "ln_final": {
+                "scale": np.asarray(w["txt/Encoder_0/encoder_norm/scale"])
+                if "txt/Encoder_0/encoder_norm/scale" in w
+                else np.asarray(w["txt/Transformer/encoder_norm/scale"]),
+                "bias": np.asarray(w["txt/Encoder_0/encoder_norm/bias"])
+                if "txt/Encoder_0/encoder_norm/bias" in w
+                else np.asarray(w["txt/Transformer/encoder_norm/bias"]),
+            },
+            "transformer": _convert_encoder_blocks(w, "txt/", n_layers, scan_layers),
+        }
+        if "txt/head/kernel" in w:
+            txt["text_projection"] = {
+                "kernel": np.asarray(w["txt/head/kernel"]),
+                "bias": np.asarray(w["txt/head/bias"]),
+            }
+        params["text"] = txt
+
+    if "t" in w:
+        params["logit_scale"] = np.asarray(w["t"]).reshape(())
+    if "b" in w:
+        params["logit_bias"] = np.asarray(w["b"]).reshape(())
+
+    import jax.numpy as jnp
+    import jax
+
+    return jax.tree.map(jnp.asarray, params)
+
+
+def convert_state_dict(sd: Mapping, **kwargs) -> dict:
+    """Dispatch by checkpoint flavor (reference convert.py:193-200)."""
+    keys = list(sd.keys())
+    if any(k.startswith(("img/", "params/img/")) for k in keys):
+        return big_vision_npz_to_params(sd, **kwargs)
+    if any("image_encoder.model" in k or "mobileclip" in k.lower() for k in keys):
+        raise NotImplementedError(
+            "MobileCLIP checkpoints target timm/torch-specific towers "
+            "(reference convert.py:152-191); use a ViT/RN config with an "
+            "open_clip-format checkpoint instead."
+        )
+    from .checkpoint import import_torch_state_dict
+
+    return import_torch_state_dict(dict(sd), **kwargs)

@@ -231,6 +231,23 @@ def create_model(
     if pretrained:
         from .checkpoint import load_torch_checkpoint
 
+        if not os.path.exists(pretrained):
+            # registry tag ('openai', 'laion2b_...') -> download
+            # (reference factory.py:377-415).
+            from .pretrained import download_pretrained, get_pretrained_cfg
+
+            pcfg = get_pretrained_cfg(model_name, pretrained)
+            if not pcfg:
+                raise RuntimeError(
+                    f"Pretrained weights ({pretrained}) not found for model {model_name}."
+                )
+            if pcfg.get("quick_gelu") and not cfg.get("quick_gelu", False):
+                logging.warning(
+                    f"{pretrained} weights were trained with QuickGELU; pass "
+                    "force_quick_gelu=True for correct activations."
+                )
+            pretrained = download_pretrained(pcfg)
+
         patch = cfg["vision_cfg"].get("patch_size")
         grid = None
         if patch is not None:

@@ -1,0 +1,171 @@
+"""HuggingFace-hub publishing for trained models.
+
+Capability parity with reference `src/open_clip/push_to_hf_hub.py:35-208`
+(save model + open_clip_config.json + tokenizer, push to hub, model-card
+generation :209+). Weights are exported in the open_clip torch layout
+(safetensors) so reference users can load them directly — the inverse of
+`checkpoint.import_torch_state_dict`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["export_torch_state_dict", "save_for_hf", "push_to_hf_hub", "generate_readme"]
+
+
+def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
+    """Flax params -> open_clip-style flat torch state dict (numpy values)."""
+    sd = {}
+
+    def put(key, val):
+        sd[key] = np.asarray(val)
+
+    def export_blocks(tree, prefix):
+        blocks = tree["transformer"]["blocks"]
+        if "block" in blocks:
+            stacked = blocks["block"]
+            n = next(iter_leaves(stacked)).shape[0]
+            layers = [index_tree(stacked, i) for i in range(n)]
+        else:
+            layers = [tree["transformer"][k] for k in sorted(tree["transformer"])]
+        for i, blk in enumerate(layers):
+            bp = f"{prefix}transformer.resblocks.{i}."
+            put(bp + "ln_1.weight", blk["ln_1"]["scale"])
+            put(bp + "ln_1.bias", blk["ln_1"]["bias"])
+            put(bp + "ln_2.weight", blk["ln_2"]["scale"])
+            put(bp + "ln_2.bias", blk["ln_2"]["bias"])
+            put(bp + "attn.in_proj_weight", np.asarray(blk["attn"]["in_proj"]["kernel"]).T)
+            put(bp + "attn.in_proj_bias", blk["attn"]["in_proj"]["bias"])
+            put(bp + "attn.out_proj.weight", np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
+            put(bp + "attn.out_proj.bias", blk["attn"]["out_proj"]["bias"])
+            put(bp + "mlp.c_fc.weight", np.asarray(blk["mlp"]["c_fc"]["kernel"]).T)
+            put(bp + "mlp.c_fc.bias", blk["mlp"]["c_fc"]["bias"])
+            put(bp + "mlp.c_proj.weight", np.asarray(blk["mlp"]["c_proj"]["kernel"]).T)
+            put(bp + "mlp.c_proj.bias", blk["mlp"]["c_proj"]["bias"])
+
+    def iter_leaves(tree):
+        import jax
+
+        return iter(jax.tree.leaves(tree))
+
+    def index_tree(tree, i):
+        import jax
+
+        return jax.tree.map(lambda x: x[i], tree)
+
+    if "visual" in params:
+        vis = params["visual"]
+        put("visual.conv1.weight", np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1))
+        put("visual.class_embedding", vis["class_embedding"])
+        put("visual.positional_embedding", vis["positional_embedding"])
+        if "ln_pre" in vis:
+            put("visual.ln_pre.weight", vis["ln_pre"]["scale"])
+            put("visual.ln_pre.bias", vis["ln_pre"]["bias"])
+        if "ln_post" in vis:
+            put("visual.ln_post.weight", vis["ln_post"]["scale"])
+            put("visual.ln_post.bias", vis["ln_post"]["bias"])
+        if "proj" in vis:
+            put("visual.proj", vis["proj"])
+        export_blocks(vis, "visual.")
+
+    if "text" in params:
+        txt = params["text"]
+        put("token_embedding.weight", txt["token_embedding"]["embedding"])
+        put("positional_embedding", txt["positional_embedding"])
+        put("ln_final.weight", txt["ln_final"]["scale"])
+        put("ln_final.bias", txt["ln_final"]["bias"])
+        if "text_projection" in txt:
+            tp = txt["text_projection"]
+            if isinstance(tp, dict):
+                put("text_projection.weight", np.asarray(tp["kernel"]).T)
+                put("text_projection.bias", tp["bias"])
+            else:
+                put("text_projection", tp)
+        export_blocks(txt, "")
+
+    if "logit_scale" in params:
+        put("logit_scale", np.asarray(params["logit_scale"]).reshape(()))
+    if "logit_bias" in params:
+        put("logit_bias", np.asarray(params["logit_bias"]).reshape(()))
+    return sd
+
+
+def save_for_hf(
+    params: dict,
+    model_config: dict,
+    save_directory: str,
+    tokenizer=None,
+    preprocess_cfg: Optional[dict] = None,
+    scan_layers: bool = True,
+):
+    """Write weights + open_clip_config.json (+ tokenizer) to a directory
+    (reference push_to_hf_hub.py:60-105)."""
+    os.makedirs(save_directory, exist_ok=True)
+    sd = export_torch_state_dict(params, scan_layers=scan_layers)
+    try:
+        from safetensors.numpy import save_file
+
+        save_file(sd, os.path.join(save_directory, "open_clip_model.safetensors"))
+    except ImportError:
+        np.savez(os.path.join(save_directory, "open_clip_model.npz"), **sd)
+
+    config = {"model_cfg": model_config}
+    if preprocess_cfg:
+        config["preprocess_cfg"] = preprocess_cfg
+    with open(os.path.join(save_directory, "open_clip_config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+
+    if tokenizer is not None and hasattr(tokenizer, "save_pretrained"):
+        tokenizer.save_pretrained(save_directory)
+
+
+def generate_readme(model_card: dict, model_name: str) -> str:
+    """Model card markdown (reference push_to_hf_hub.py:209+)."""
+    tags = model_card.get("tags", ["clip", "mri"])
+    lines = [
+        "---",
+        "tags:",
+        *[f"- {t}" for t in tags],
+        "library_name: mrclip_tpu",
+        "---",
+        f"# Model card for {model_name}",
+        "",
+        model_card.get("description", "MRI image-text contrastive model trained with mrclip_tpu."),
+    ]
+    if "details" in model_card:
+        lines += ["", "## Model Details"]
+        for k, v in model_card["details"].items():
+            lines.append(f"- **{k}:** {v}")
+    return "\n".join(lines) + "\n"
+
+
+def push_to_hf_hub(
+    params: dict,
+    model_config: dict,
+    repo_id: str,
+    tokenizer=None,
+    preprocess_cfg: Optional[dict] = None,
+    commit_message: str = "Add model",
+    private: bool = False,
+    model_card: Optional[dict] = None,
+):
+    """Create/update a hub repo with the exported model
+    (reference push_to_hf_hub.py:108-208)."""
+    try:
+        from huggingface_hub import HfApi, upload_folder
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("huggingface_hub is required to push to the hub") from e
+
+    api = HfApi()
+    api.create_repo(repo_id, private=private, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        save_for_hf(params, model_config, tmp, tokenizer, preprocess_cfg)
+        with open(os.path.join(tmp, "README.md"), "w") as f:
+            f.write(generate_readme(model_card or {}, repo_id.split("/")[-1]))
+        return upload_folder(repo_id=repo_id, folder_path=tmp, commit_message=commit_message)
