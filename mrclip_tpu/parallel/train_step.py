@@ -347,14 +347,16 @@ def build_train_step(
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=donate_argnums)
-
-    batch_sharding = NamedSharding(mesh, batch_spec())
-    return jax.jit(
-        step_fn,
-        donate_argnums=donate_argnums,
-        in_shardings=(None, batch_sharding, None),
-    )
+        jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
+    else:
+        batch_sharding = NamedSharding(mesh, batch_spec())
+        jitted = jax.jit(
+            step_fn,
+            donate_argnums=donate_argnums,
+            in_shardings=(None, batch_sharding, None),
+        )
+    jitted.raw = step_fn  # un-jitted body, scannable for fused multi-step runs
+    return jitted
 
 
 def build_eval_step(model, mesh: Optional[Mesh] = None):

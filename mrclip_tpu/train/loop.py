@@ -33,8 +33,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses import multipositive_clip_loss, clip_loss
+from ..ops.image_ops import eval_preprocess_batch
 from ..parallel import local_batch_to_global
 from .metrics import get_clip_metrics, volume_voting_metrics
+
+
+def _maybe_preprocess_images(batch: dict, args) -> dict:
+    """Native-loader batches arrive as raw uint8 canvases; run the
+    deterministic device-side eval preprocessing (resize/crop/normalize)."""
+    imgs = batch.get("images")
+    if imgs is not None and imgs.dtype == jnp.uint8:
+        size = getattr(args, "image_size", 224)
+        if isinstance(size, int):
+            size = (size, size)
+        batch = dict(batch, images=eval_preprocess_batch(imgs, out_size=tuple(size)))
+    return batch
 
 __all__ = [
     "AverageMeter",
@@ -96,7 +109,15 @@ def train_one_epoch(
     end = time.time()
     prev_metrics = None
     world_size = getattr(args, "world_size", 1)
+    profile_dir = getattr(args, "profile_dir", None)
     for i, batch in enumerate(loader):
+        # Timeline tracing (the reference has none, SURVEY.md §5): capture a
+        # 5-step window of epoch 0 for xprof/tensorboard.
+        if profile_dir and epoch == 0:
+            if i == 10:
+                jax.profiler.start_trace(profile_dir)
+            elif i == 15:
+                jax.profiler.stop_trace()
         step = num_batches * epoch + i
         batch = _to_device(batch, mesh, args)
         if augment_fn is not None:
@@ -174,6 +195,7 @@ def evaluate(
     for batch in loader:
         captions = batch.pop("caption", None)
         device_batch = jax.tree.map(jnp.asarray, {k: v for k, v in batch.items() if not isinstance(v, list)})
+        device_batch = _maybe_preprocess_images(device_batch, args)
         out = eval_step(variables, device_batch)
         img_f, txt_f = out["image_features"], out["text_features"]
         scale = float(out["logit_scale"])

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import checkpoint as ckpt
-from ..factory import create_loss, create_model_and_transforms, get_tokenizer
+from ..factory import create_loss, create_model_and_transforms, get_model_config, get_tokenizer
 from ..data import get_data
 from ..ops.image_ops import random_augment_batch
 from ..parallel import (
@@ -110,6 +110,10 @@ def main(args=None):
         grad_checkpointing=args.grad_checkpointing,
         aug_cfg=args.aug_cfg,
         rng_seed=args.seed,
+    )
+    cfg_img_size = (get_model_config(args.model) or {}).get("vision_cfg", {}).get("image_size", 224)
+    args.image_size = (
+        tuple(args.force_image_size) if args.force_image_size else cfg_img_size
     )
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     logging.info(f"Model: {args.model} ({n_params / 1e6:.1f}M params)")

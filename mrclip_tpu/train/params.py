@@ -179,6 +179,11 @@ def parse_args(args=None) -> argparse.Namespace:
     )
     p.add_argument("--unique3d", default=False, action="store_true",
                    help="Unique3DSampler instead of UniqueLabelSampler")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace window to this dir")
+    p.add_argument("--native-loader", default=False, action="store_true",
+                   help="C++ threaded PNG decode feeding uint8 canvases "
+                        "(pair with --device-augment)")
 
     # torch-only flags: accepted, ignored
     for flag in _IGNORED_TORCH_FLAGS:

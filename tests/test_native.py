@@ -1,0 +1,79 @@
+"""Native C++ data path: decoder exactness vs PIL, batch loader, fused
+device augmentation end-to-end."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from mrclip_tpu.native import decode_png, load_batch, native_available
+from mrclip_tpu.ops.image_ops import eval_preprocess_batch, random_augment_batch
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="libmrclip_native.so not built (make -C native)"
+)
+
+
+def _png_bytes(arr, mode):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("mode,shape", [("L", (190, 161)), ("RGB", (120, 100, 3)), ("RGBA", (64, 64, 4))])
+def test_decode_matches_pil(mode, shape):
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, shape, np.uint8)
+    data = _png_bytes(arr, mode)
+    dec = decode_png(data, channels=3)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert dec is not None
+    np.testing.assert_array_equal(dec, ref)
+
+
+def test_load_batch(tmp_path):
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(8):
+        arr = rng.randint(0, 255, (190, 160), np.uint8)
+        p = str(tmp_path / f"s{i}.png")
+        Image.fromarray(arr, "L").save(p)
+        paths.append(p)
+    batch, status = load_batch(paths, (224, 224))
+    assert batch.shape == (8, 224, 224, 3)
+    assert (status == 0).all()
+    assert batch.max() > 0
+
+    batch, status = load_batch([paths[0], "/definitely/missing.png"], (64, 64))
+    assert status[0] == 0 and status[1] != 0
+    assert (batch[1] == 0).all()
+
+
+def test_native_to_device_augment(tmp_path):
+    """uint8 canvas -> fused augmentation -> normalized train batch."""
+    rng = np.random.RandomState(2)
+    paths = []
+    for i in range(4):
+        arr = rng.randint(0, 255, (256, 256), np.uint8)
+        p = str(tmp_path / f"c{i}.png")
+        Image.fromarray(arr, "L").save(p)
+        paths.append(p)
+    canvas, status = load_batch(paths, (256, 256))
+    assert (status == 0).all()
+
+    out = jax.jit(lambda x, k: random_augment_batch(x, k, out_size=(224, 224)))(
+        jnp.asarray(canvas), jax.random.key(0)
+    )
+    assert out.shape == (4, 224, 224, 3)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    # normalized stats: roughly centered after OpenAI mean/std
+    assert abs(float(out.mean())) < 2.0
+
+    ev = eval_preprocess_batch(jnp.asarray(canvas), out_size=(224, 224))
+    assert ev.shape == (4, 224, 224, 3)
