@@ -26,6 +26,7 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--model", type=str, default=None)
     parser.add_argument("--remat", action="store_true", help="per-block grad checkpointing")
+    parser.add_argument("--fused", action="store_true", help="fuse timed steps into one lax.scan dispatch")
     args = parser.parse_args()
 
     import jax
@@ -77,25 +78,34 @@ def main():
     }
     key = jax.random.key(0)
 
-    # Fuse the timed steps into one lax.scan dispatch: the per-call dispatch
-    # latency is paid once, the device still executes `steps` sequential
-    # full train steps (forward + loss + grads + update).
-    @jax.jit
-    def run_n(state, keys):
-        def body(s, k):
-            s, m = step.raw(s, batch_data, k)
-            return s, m["loss"]
+    if args.fused:
+        # Fuse the timed steps into one lax.scan dispatch: per-call dispatch
+        # latency is paid once; the device still executes `steps` sequential
+        # full train steps. Useful when driving a remote chip with high RTT.
+        @jax.jit
+        def run_n(state, keys):
+            def body(s, k):
+                s, m = step.raw(s, batch_data, k)
+                return s, m["loss"]
 
-        return jax.lax.scan(body, state, keys)
+            return jax.lax.scan(body, state, keys)
 
-    keys = jax.random.split(key, steps)
-    state2, losses = run_n(state, keys)  # compile + warmup
-    float(losses[-1])
-
-    t0 = time.perf_counter()
-    state2, losses = run_n(state, keys)
-    final_loss = float(losses[-1])  # device->host sync of the whole chain
-    dt = time.perf_counter() - t0
+        keys = jax.random.split(key, steps)
+        state2, losses = run_n(state, keys)  # compile + warmup
+        float(losses[-1])
+        t0 = time.perf_counter()
+        state2, losses = run_n(state, keys)
+        final_loss = float(losses[-1])
+        dt = time.perf_counter() - t0
+    else:
+        # warmup / compile (value fetch forces real execution)
+        state, metrics = step(state, batch_data, key)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
+        final_loss = float(metrics["loss"])  # syncs the whole chain
+        dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
 
     pairs_per_sec = batch * steps / dt

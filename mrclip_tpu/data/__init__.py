@@ -12,6 +12,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
+from .image_folder import ImageFolderDataset
 from .csv_dataset import (
     CsvDataset,
     CsvTabularDataset,
@@ -26,6 +27,7 @@ from .shards import ShardedTarDataset, expand_urls, get_dataset_size
 from .synthetic import SyntheticDataset
 
 __all__ = [
+    "ImageFolderDataset",
     "CsvDataset",
     "CsvTabularDataset",
     "DistributedSampler",
@@ -213,4 +215,18 @@ def get_data(args, preprocess_fns, epoch: int = 0, tokenizer: Optional[Callable]
         data["train"] = dispatch(train_path, preprocess_train, True)
     if val_path:
         data["val"] = dispatch(val_path, preprocess_val, False)
+
+    # zero-shot classification sets (reference data.py:147-190, :589-595)
+    imagenet_val = getattr(args, "imagenet_val", None)
+    if imagenet_val:
+        ds = ImageFolderDataset(imagenet_val, preprocess_val)
+        data["imagenet-val"] = DataInfo(
+            DataLoader(ds, batch_size=args.batch_size, num_workers=getattr(args, "workers", 4), drop_last=False)
+        )
+    imagenet_v2 = getattr(args, "imagenet_v2", None)
+    if imagenet_v2:
+        ds = ImageFolderDataset(imagenet_v2, preprocess_val, max_per_class=50)
+        data["imagenet-v2"] = DataInfo(
+            DataLoader(ds, batch_size=args.batch_size, num_workers=getattr(args, "workers", 4), drop_last=False)
+        )
     return data

@@ -84,17 +84,33 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+REMAT_POLICIES = {
+    # recompute everything (minimum memory, +~30% flops)
+    "full": None,
+    # save weight-matmul outputs; recompute cheap elementwise/softmax — the
+    # standard transformer policy: near no-remat speed at a fraction of the
+    # activation memory.
+    "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+
+def _remat_block(cls, policy_name: str):
+    policy = REMAT_POLICIES.get(policy_name)
+    return nn.remat(cls, prevent_cse=False, policy=policy)
+
+
 class _ScanBlock(nn.Module):
     """Carry adapter so ResidualAttentionBlock fits nn.scan's (carry, out) contract."""
 
     block_kwargs: dict
     remat: bool = False
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, x, kv, mask):
         cls = ResidualAttentionBlock
         if self.remat:
-            cls = nn.remat(cls, prevent_cse=False)
+            cls = _remat_block(cls, self.remat_policy)
         x = cls(name="block", **self.block_kwargs)(x, kv, mask)
         return x, None
 
@@ -118,6 +134,7 @@ class Transformer(nn.Module):
     is_causal: bool = False
     scan_layers: bool = True
     remat: bool = False
+    remat_policy: str = "dots"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -146,12 +163,17 @@ class Transformer(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=self.layers,
-            )(block_kwargs=block_kwargs, remat=self.remat, name="blocks")
+            )(
+                block_kwargs=block_kwargs,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
+                name="blocks",
+            )
             x, _ = scanned(x, kv, mask)
         else:
             cls = ResidualAttentionBlock
             if self.remat:
-                cls = nn.remat(cls, prevent_cse=False)
+                cls = _remat_block(cls, self.remat_policy)
             for i in range(self.layers):
                 x = cls(name=f"blocks_{i}", **block_kwargs)(x, kv, mask)
         return x

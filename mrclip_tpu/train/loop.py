@@ -177,6 +177,40 @@ def evaluate(
 ) -> dict:
     """Validation loop (reference train.py:272-462)."""
     metrics: Dict[str, float] = {}
+
+    # ImageNet zero-shot, frequency-gated (reference zero_shot.py:45-86).
+    zs_freq = getattr(args, "zeroshot_frequency", 0)
+    has_imagenet = "imagenet-val" in data or "imagenet-v2" in data
+    if has_imagenet and zs_freq and (
+        epoch % zs_freq == 0 or epoch == getattr(args, "epochs", epoch)
+    ):
+        from .zero_shot import (
+            build_zero_shot_classifier,
+            load_imagenet_metadata,
+            zero_shot_eval,
+        )
+
+        assert tokenizer is not None, "zero-shot eval needs a tokenizer"
+        variables_zs = state.variables()
+        encode_text = jax.jit(
+            lambda t: model.apply(variables_zs, None, t)["text_features"]
+        )
+        encode_image = jax.jit(
+            lambda im: model.apply(variables_zs, im, None)["image_features"]
+        )
+        classnames = getattr(args, "zeroshot_classnames", None)
+        templates = getattr(args, "zeroshot_templates", None)
+        if classnames is None:
+            classnames, templates = load_imagenet_metadata()
+        classifier = build_zero_shot_classifier(encode_text, tokenizer, classnames, templates)
+        for split in ("imagenet-val", "imagenet-v2"):
+            if split in data:
+                res = zero_shot_eval(
+                    lambda im: encode_image(jnp.asarray(im)), classifier, data[split].dataloader
+                )
+                prefix = "imagenet-zeroshot-val-" if split == "imagenet-val" else "imagenetv2-zeroshot-val-"
+                metrics.update({prefix + k: v for k, v in res.items()})
+
     if "val" not in data:
         return metrics
     if eval_step is None:
