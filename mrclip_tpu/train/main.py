@@ -96,6 +96,20 @@ def main(args=None):
     if args.precision == "fp16":
         logging.warning("fp16 maps to bf16 on TPU (no GradScaler needed).")
 
+    # repro snapshot of the codebase (reference main.py:575-589)
+    if args.copy_codebase and rank == 0:
+        import shutil
+
+        code_dir = os.path.join(log_base_path, "code")
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if not os.path.exists(code_dir):
+            shutil.copytree(
+                os.path.join(repo_root, "mrclip_tpu"),
+                os.path.join(code_dir, "mrclip_tpu"),
+                ignore=shutil.ignore_patterns("__pycache__", "assets"),
+            )
+            logging.info(f"Copied codebase to {code_dir}")
+
     random_seed(args.seed, 0)
 
     # model + transforms (reference main.py:241-294)
@@ -215,6 +229,20 @@ def main(args=None):
             writer = SummaryWriter(os.path.join(log_base_path, "tensorboard"))
         except ImportError:
             logging.warning("tensorboard not available; skipping")
+    if "wandb" in (args.report_to or ""):
+        try:
+            import wandb
+
+            wandb.init(
+                project=args.wandb_project_name,
+                name=args.name,
+                notes=args.wandb_notes,
+                config=vars(args),
+            )
+            if args.debug:
+                logging.info("wandb watch is torch-specific; skipping")
+        except ImportError:
+            logging.warning("wandb not available; skipping")
 
     for epoch in range(start_epoch, args.epochs):
         logging.info(f"Start epoch {epoch}")
