@@ -153,6 +153,7 @@ def create_model(
     force_patch_dropout: Optional[float] = None,
     force_image_size: Optional[Union[int, Tuple[int, int]]] = None,
     force_context_length: Optional[int] = None,
+    text_dropout: float = 0.0,
     logit_scale_trainable: bool = True,
     scan_layers: bool = True,
     grad_checkpointing: bool = False,
@@ -179,6 +180,10 @@ def create_model(
         cfg["vision_cfg"]["image_size"] = force_image_size
     if force_context_length is not None:
         cfg["text_cfg"]["context_length"] = force_context_length
+    if text_dropout:
+        # --textdropout: dropout injected into the text tower's blocks
+        # (reference main.py:47-59 add_dropout).
+        cfg["text_cfg"]["dropout"] = text_dropout
 
     # RN50-style configs encode layers as a list; drop null patch_size.
     if cfg["vision_cfg"].get("patch_size") is None:

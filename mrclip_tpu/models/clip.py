@@ -78,6 +78,7 @@ class CLIPTextCfg:
     ls_init_value: Optional[float] = None
     embed_cls: bool = False
     pad_id: int = 0
+    dropout: float = 0.0
     no_causal_mask: bool = False
     final_ln_after_pool: bool = False
     pool_type: str = "argmax"
@@ -195,6 +196,7 @@ def build_text_tower(
         pad_id=text_cfg.pad_id,
         pool_type=text_cfg.pool_type,
         proj_bias=text_cfg.proj_bias,
+        dropout=text_cfg.dropout,
         act=act,
         output_tokens=text_cfg.output_tokens,
         scan_layers=scan_layers,

@@ -36,6 +36,7 @@ class TextTransformer(nn.Module):
     pad_id: int = 0
     pool_type: str = "argmax"  # 'argmax' | 'first' | 'last' | 'none'
     proj_bias: bool = False
+    dropout: float = 0.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     output_tokens: bool = False
     scan_layers: bool = True
@@ -95,11 +96,12 @@ class TextTransformer(nn.Module):
             ls_init_value=self.ls_init_value,
             act=self.act,
             is_causal=is_causal,
+            dropout=self.dropout,
             scan_layers=self.scan_layers,
             remat=self.remat,
             dtype=self.dtype,
             name="transformer",
-        )(x, mask=mask)
+        )(x, mask=mask, deterministic=deterministic)
 
         if self.embed_cls:
             # CLS sits at the end; pool it, tokens are the rest.

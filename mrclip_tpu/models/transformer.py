@@ -44,6 +44,7 @@ class ResidualAttentionBlock(nn.Module):
     scale_heads: bool = False
     cross_attn: bool = False
     is_causal: bool = False
+    dropout: float = 0.0  # --textdropout injection (reference main.py:47-59)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -52,8 +53,15 @@ class ResidualAttentionBlock(nn.Module):
         x: jax.Array,
         kv: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
     ) -> jax.Array:
         width = x.shape[-1]
+
+        def drop(t):
+            if self.dropout == 0.0:
+                return t
+            return nn.Dropout(rate=self.dropout)(t, deterministic=deterministic)
 
         def maybe_ls(name):
             if self.ls_init_value is None:
@@ -68,7 +76,7 @@ class ResidualAttentionBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(y, mask=mask, is_causal=self.is_causal)
-        x = x + maybe_ls("ls_1")(y)
+        x = x + maybe_ls("ls_1")(drop(y))
 
         if self.cross_attn:
             assert kv is not None, "cross_attn block requires kv"
@@ -80,7 +88,7 @@ class ResidualAttentionBlock(nn.Module):
 
         y = LayerNorm(name="ln_2")(x)
         y = MLP(width=width, hidden=int(width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(y)
-        x = x + maybe_ls("ls_2")(y)
+        x = x + maybe_ls("ls_2")(drop(y))
         return x
 
 
@@ -107,11 +115,11 @@ class _ScanBlock(nn.Module):
     remat_policy: str = "dots"
 
     @nn.compact
-    def __call__(self, x, kv, mask):
+    def __call__(self, x, kv, mask, deterministic):
         cls = ResidualAttentionBlock
         if self.remat:
             cls = _remat_block(cls, self.remat_policy)
-        x = cls(name="block", **self.block_kwargs)(x, kv, mask)
+        x = cls(name="block", **self.block_kwargs)(x, kv, mask, deterministic=deterministic)
         return x, None
 
 
@@ -132,6 +140,7 @@ class Transformer(nn.Module):
     scale_heads: bool = False
     cross_attn: bool = False
     is_causal: bool = False
+    dropout: float = 0.0
     scan_layers: bool = True
     remat: bool = False
     remat_policy: str = "dots"
@@ -143,6 +152,8 @@ class Transformer(nn.Module):
         x: jax.Array,
         kv: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
     ) -> jax.Array:
         block_kwargs = dict(
             num_heads=self.heads,
@@ -153,6 +164,7 @@ class Transformer(nn.Module):
             scale_heads=self.scale_heads,
             cross_attn=self.cross_attn,
             is_causal=self.is_causal,
+            dropout=self.dropout,
             dtype=self.dtype,
         )
 
@@ -161,7 +173,7 @@ class Transformer(nn.Module):
                 _ScanBlock,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.layers,
             )(
                 block_kwargs=block_kwargs,
@@ -169,13 +181,13 @@ class Transformer(nn.Module):
                 remat_policy=self.remat_policy,
                 name="blocks",
             )
-            x, _ = scanned(x, kv, mask)
+            x, _ = scanned(x, kv, mask, deterministic)
         else:
             cls = ResidualAttentionBlock
             if self.remat:
                 cls = _remat_block(cls, self.remat_policy)
             for i in range(self.layers):
-                x = cls(name=f"blocks_{i}", **block_kwargs)(x, kv, mask)
+                x = cls(name=f"blocks_{i}", **block_kwargs)(x, kv, mask, deterministic=deterministic)
         return x
 
 

@@ -37,6 +37,7 @@ from .constants import DEFAULT_CONTEXT_LENGTH
 __all__ = [
     "SimpleTokenizer",
     "HFTokenizer",
+    "SigLipTokenizer",
     "tokenize",
     "decode",
     "DEFAULT_CONTEXT_LENGTH",
@@ -434,3 +435,18 @@ class HFTokenizer:
             import warnings
 
             warnings.warn("Cannot set language for the tokenizer.")
+
+
+class SigLipTokenizer(HFTokenizer):
+    """HF T5/sentencepiece tokenizer with SigLIP's canonicalization
+    (reference tokenizer.py:464-521): lowercase, punctuation stripped,
+    pad-to-max with EOS."""
+
+    VOCAB_FILES = {
+        "c4-en": "T5 c4-en sentencepiece (via hf-hub t5-base)",
+        "mc4": "T5 mc4 multilingual sentencepiece (via hf-hub google/mt5-base)",
+    }
+
+    def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
+        name = {"c4-en": "t5-base", "mc4": "google/mt5-base"}.get(tokenizer_name, tokenizer_name)
+        super().__init__(name, context_length=context_length, clean="canonicalize")

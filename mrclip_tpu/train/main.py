@@ -122,6 +122,7 @@ def main(args=None):
         force_image_size=tuple(args.force_image_size) if args.force_image_size else None,
         logit_scale_trainable=not args.logitscaletrainable,
         grad_checkpointing=args.grad_checkpointing,
+        text_dropout=args.textdropout,
         aug_cfg=args.aug_cfg,
         rng_seed=args.seed,
     )
@@ -255,6 +256,7 @@ def main(args=None):
         # atomicity (the tmp+rename dance) and retention.
         if rank == 0 and (
             completed_epoch == args.epochs
+            or args.save_most_recent
             or (args.save_frequency > 0 and completed_epoch % args.save_frequency == 0)
         ):
             keep = 1 if args.delete_previous_checkpoint else None
