@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--model", type=str, default=None)
     parser.add_argument("--remat", action="store_true", help="per-block grad checkpointing")
     parser.add_argument("--fused", action="store_true", help="fuse timed steps into one lax.scan dispatch")
+    parser.add_argument("--no-scan", action="store_true", help="unroll transformer layers instead of lax.scan")
     args = parser.parse_args()
 
     import jax
@@ -56,6 +57,7 @@ def main():
         model_name,
         precision="bf16" if on_tpu else "fp32",
         grad_checkpointing=args.remat,
+        scan_layers=not args.no_scan,
     )
 
     class LossArgs:
