@@ -29,6 +29,28 @@ def to_2tuple(x) -> Tuple[int, int]:
     return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
 
 
+class _PatchEmbed(nn.Module):
+    """Patch projection holding a conv-shaped kernel, applied as a matmul.
+
+    Kernel [ph, pw, 3, width] (the NHWC conv layout the importer writes);
+    inputs are flattened patches [B, N, ph*pw*3] in matching (ph, pw, c)
+    order.
+    """
+
+    width: int
+    patch: Tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches: jax.Array) -> jax.Array:
+        ph, pw = self.patch
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (ph, pw, 3, self.width)
+        )
+        w = kernel.reshape(ph * pw * 3, self.width)
+        return jnp.dot(patches, w.astype(self.dtype))
+
+
 class VisionTransformer(nn.Module):
     """ViT image encoder producing a pooled embedding (and optional tokens)."""
 
@@ -68,15 +90,15 @@ class VisionTransformer(nn.Module):
         gh, gw = self.grid_size
         b = images.shape[0]
 
-        x = nn.Conv(
-            features=self.width,
-            kernel_size=(ph, pw),
-            strides=(ph, pw),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(images.astype(self.dtype))
-        x = x.reshape(b, gh * gw, self.width)
+        # Patchify as reshape + one big matmul: a stride-p conv is exactly a
+        # dense layer over flattened patches, and the explicit matmul maps
+        # straight onto the MXU with no conv lowering. The param keeps the
+        # conv kernel shape/path ([ph, pw, 3, width] at visual/conv1/kernel)
+        # for checkpoint compatibility.
+        x = images.astype(self.dtype)
+        x = x.reshape(b, gh, ph, gw, pw, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, ph * pw * 3)
+        x = _PatchEmbed(width=self.width, patch=(ph, pw), dtype=self.dtype, name="conv1")(x)
 
         cls = self.param(
             "class_embedding", nn.initializers.normal(stddev=self.width**-0.5), (self.width,)
