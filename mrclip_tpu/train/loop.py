@@ -282,6 +282,33 @@ def evaluate(
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, "vocabulary.json"), "w") as f:
                 json.dump({k: v for k, v in vocabulary.items()}, f, default=str)
+            # anchor + top-retrieved image export (reference train.py:366-417)
+            dataset = getattr(loader, "dataset", None)
+            paths = getattr(dataset, "images", None)
+            if paths is not None:
+                import shutil
+
+                traced_dir = os.path.join(out_dir, "traced_images")
+                os.makedirs(traced_dir, exist_ok=True)
+                vocab = vocabulary.get("image_to_text_general", {})
+                for anchor_idx in list(vocab)[:20]:
+                    entry = vocab[anchor_idx]
+                    try:
+                        shutil.copy(
+                            paths[entry["anchor"]],
+                            os.path.join(traced_dir, f"anchor_{entry['anchor']}.png"),
+                        )
+                        for rank_pos, j in enumerate(entry["indices"][:3]):
+                            shutil.copy(
+                                paths[j],
+                                os.path.join(
+                                    traced_dir,
+                                    f"anchor_{entry['anchor']}_top{rank_pos}_idx{j}.png",
+                                ),
+                            )
+                    except (OSError, IndexError) as e:
+                        logging.warning(f"tracepreds image export failed: {e}")
+                        break
         metrics.update(res)
 
     metrics["epoch"] = epoch

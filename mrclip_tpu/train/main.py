@@ -215,6 +215,10 @@ def main(args=None):
         cached_features_accum=args.cached_features_accum,
     )
 
+    eval_step = jax.jit(
+        lambda variables, batch: model.apply(variables, batch.get("images"), batch.get("tokens"))
+    )
+
     augment_fn = None
     if args.device_augment:
         size = model.vision_cfg["image_size"] if isinstance(model.vision_cfg, dict) else 224
@@ -266,7 +270,10 @@ def main(args=None):
         if "val" in data and (
             completed_epoch % args.val_frequency == 0 or completed_epoch == args.epochs
         ):
-            evaluate(model, state, data, completed_epoch, args, writer=writer, tokenizer=tokenizer)
+            evaluate(
+                model, state, data, completed_epoch, args,
+                eval_step=eval_step, writer=writer, tokenizer=tokenizer,
+            )
 
     if remote_sync_process is not None:
         remote_sync_process.terminate()
