@@ -113,8 +113,9 @@ class CsvDataset:
         }
         if self.tokenize is not None:
             item["tokens"] = self.tokenize([caption])[0]
-        else:
-            item["caption"] = caption
+        # Exact-caption identity is the 'unique' eval ground truth
+        # (reference train.py:355-360); always carry the string.
+        item["caption"] = caption
         if self.with_times:
             te, tr = extract_times(caption)
             item["echo_time"] = np.float32(te)

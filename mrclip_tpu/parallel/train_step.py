@@ -195,6 +195,14 @@ def make_loss_apply(loss_fn: Callable[..., dict], mesh: Optional[Mesh] = None) -
         args = [model_out["image_features"]]
         if "text_features" in sig_params:
             args.append(model_out["text_features"])
+        if "dist_image_features" in sig_params:
+            kwargs_post = [
+                model_out["dist_image_features"],
+                model_out["dist_text_features"],
+                model_out["dist_logit_scale"],
+            ]
+        else:
+            kwargs_post = []
         if "labels" in sig_params and "labels" not in kwargs:
             raise ValueError("loss requires per-sample labels but batch has none")
         # positional labels for the multipositive family
@@ -205,6 +213,7 @@ def make_loss_apply(loss_fn: Callable[..., dict], mesh: Optional[Mesh] = None) -
         if "echo_time" in kwargs:
             args.extend([kwargs.pop("echo_time"), kwargs.pop("repetition_time")])
         args.append(model_out["logit_scale"])
+        args.extend(kwargs_post)
         if "logit_bias" in kwargs:
             args.append(kwargs.pop("logit_bias"))
         return loss_fn(*args, **kwargs)
@@ -221,6 +230,7 @@ def build_train_step(
     accum_freq: int = 1,
     cached_features_accum: bool = False,
     donate: bool = True,
+    teacher: Optional[tuple] = None,
 ):
     """Compile the train step.
 
@@ -233,6 +243,17 @@ def build_train_step(
         def loss_fn(params):
             variables = {**state.variables(), "params": params}
             out, new_mut = _forward(model, variables, batch, rng, train=True)
+            if teacher is not None:
+                # Distillation (reference DistillClipLoss + main.py dist_model
+                # forward): teacher runs frozen, no grads.
+                t_model, t_variables = teacher
+                t_out, _ = _forward(t_model, t_variables, batch, None, train=False)
+                out = dict(
+                    out,
+                    dist_image_features=jax.lax.stop_gradient(t_out["image_features"]),
+                    dist_text_features=jax.lax.stop_gradient(t_out["text_features"]),
+                    dist_logit_scale=jax.lax.stop_gradient(t_out["logit_scale"]),
+                )
             ldict = loss_apply(out, batch)
             return ldict["loss"], (ldict, new_mut)
 

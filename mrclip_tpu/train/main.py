@@ -204,6 +204,17 @@ def main(args=None):
         evaluate(model, state, data, start_epoch, args, tokenizer=tokenizer)
         return
 
+    # distillation teacher (reference main.py distill model build)
+    teacher = None
+    if args.distill:
+        from ..factory import create_model as _create_model
+
+        t_model, t_variables = _create_model(
+            args.distill_model, pretrained=args.distill_pretrained, precision=args.precision
+        )
+        teacher = (t_model, t_variables)
+        logging.info(f"Distilling from {args.distill_model} ({args.distill_pretrained})")
+
     # loss + step
     loss_fn = create_loss(args)
     step_fn = build_train_step(
@@ -213,6 +224,7 @@ def main(args=None):
         mesh,
         accum_freq=args.accum_freq,
         cached_features_accum=args.cached_features_accum,
+        teacher=teacher,
     )
 
     eval_step = jax.jit(
