@@ -57,7 +57,7 @@ def main():
         model_name,
         precision="bf16" if on_tpu else "fp32",
         grad_checkpointing=args.remat,
-        scan_layers=not args.no_scan,
+        scan_layers=False if args.no_scan else None,
     )
 
     class LossArgs:

@@ -105,8 +105,10 @@ class ModifiedResNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jax.Array, *, deterministic: bool = True, train: bool = False):
-        """`images`: [B, H, W, 3]. `deterministic` accepted for tower-API parity."""
+    def __call__(self, images: jax.Array, *, deterministic: bool = True):
+        """`images`: [B, H, W, 3]; `deterministic=False` puts BN in
+        batch-stats-updating training mode (the tower-wide train switch)."""
+        train = not deterministic
         x = images.astype(self.dtype)
 
         def bn(name):
