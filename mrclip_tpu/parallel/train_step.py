@@ -83,17 +83,30 @@ def create_optimizer(
     eps: float = 1e-6,
     wd: float = 0.2,
     grad_clip_norm: Optional[float] = None,
+    opt: str = "adamw",
+    momentum: Optional[float] = None,
 ) -> optax.GradientTransformation:
-    """AdamW matching reference ViT defaults (params.py:5-11) with the
-    decay mask; optional global-norm clipping (train.py:188-198)."""
-    tx = optax.adamw(
-        learning_rate=lr,
-        b1=beta1,
-        b2=beta2,
-        eps=eps,
-        weight_decay=wd,
-        mask=_wd_mask,
-    )
+    """Optimizer build matching reference defaults (params.py:5-11) with the
+    weight-decay mask; optional global-norm clipping (train.py:188-198).
+
+    `--opt`: adamw (reference default) | sgd | lion | adafactor (the
+    reference's non-adamw path delegates to timm; optax covers the same
+    space natively)."""
+    if opt == "adamw":
+        tx = optax.adamw(
+            learning_rate=lr, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_wd_mask
+        )
+    elif opt == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(wd, mask=_wd_mask),
+            optax.sgd(learning_rate=lr, momentum=momentum or 0.9, nesterov=True),
+        )
+    elif opt == "lion":
+        tx = optax.lion(learning_rate=lr, b1=beta1, b2=beta2, weight_decay=wd, mask=_wd_mask)
+    elif opt == "adafactor":
+        tx = optax.adafactor(learning_rate=lr, weight_decay_rate=wd)
+    else:
+        raise ValueError(f"unknown optimizer {opt}")
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx

@@ -175,6 +175,8 @@ def main(args=None):
         eps=args.eps,
         wd=args.wd,
         grad_clip_norm=args.grad_clip_norm,
+        opt=args.opt,
+        momentum=args.momentum,
     )
     tx = chain_with_mask(tx, mask)
     state = create_train_state(variables, tx, mesh)

@@ -18,10 +18,11 @@ def make_data(d, n_labels=4, per_label=16):
     rows = []
     for lbl in range(n_labels):
         for i in range(per_label):
-            img = rng.randint(0, 60, (64, 64), np.uint8)
-            # label-dependent bright quadrant
-            qr, qc = divmod(lbl, 2)
-            img[qr*32:(qr+1)*32, qc*32:(qc+1)*32] += 180
+            # label signal = overall brightness level: invariant to the
+            # train-time flips/affines/blur (a quadrant pattern is NOT -
+            # horizontal flips scramble it).
+            base = 30 + 55 * lbl
+            img = (base + rng.randint(0, 25, (64, 64))).astype(np.uint8)
             name = f"vol{lbl}_{i}_axial_slice120.png"
             Image.fromarray(img, "L").save(os.path.join(d, name))
             rows.append((os.path.join(d, name), f"a scan of acquisition protocol number {lbl}", lbl))
@@ -45,12 +46,12 @@ def main():
         "--val-data", os.path.join(d, "val.csv"),
         "--dataset-type", "csv-unique-sampler",
         "--model", "ViT-B-32-mini",
-        "--batch-size", "16", "--epochs", "40",
+        "--batch-size", "16", "--epochs", "150",
         "--multipositiveloss", "--precision", "fp32",
-        "--lr", "1e-3", "--warmup", "10", "--wd", "0.01",
+        "--lr", "2e-3", "--warmup", "10", "--wd", "0.01", "--lr-scheduler", "const",
         "--workers", "2", "--logs", os.path.join(d, "logs"),
         "--name", "learn", "--log-every-n-steps", "3",
-        "--val-frequency", "40", "--save-frequency", "0",
+        "--val-frequency", "150", "--save-frequency", "0",
     ])
     # re-evaluate explicitly for the final number
     import logging
