@@ -23,3 +23,4 @@ from .text import TextTransformer
 from .transformer import ResidualAttentionBlock, Transformer, text_global_pool
 from .vision import VisionTransformer
 from .coca import CoCa, MultimodalCfg, MultimodalTransformer, generate
+from .clip import CLIPTabular

@@ -335,3 +335,58 @@ class TabularEncoder(nn.Module):
             x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="head")(x)
+
+
+class CLIPTabular(nn.Module):
+    """Image <-> tabular-metadata contrastive model.
+
+    The reference dispatches `--tabular` to a `CLIP_Tabular` class that is
+    broken in the snapshot (factory.py:346-348, model.py:346-368 references
+    undefined `args`); rebuilt working: the text tower is replaced by a
+    `TabularEncoder` over the numeric/categorical acquisition features
+    (SCARF-style corruption happens in the dataset). The tabular embedding
+    fills the `text_features` slot so every contrastive loss works unchanged.
+    """
+
+    embed_dim: int = 512
+    vision_cfg: Any = dataclasses.field(default_factory=CLIPVisionCfg)
+    tabular_input_dim: int = 8
+    tabular_hidden_dim: int = 256
+    tabular_layers: int = 2
+    quick_gelu: bool = False
+    init_logit_scale: float = math.log(1 / 0.07)
+    scan_layers: bool = True
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    uses_tabular: bool = True  # train-step dispatch flag
+
+    def setup(self):
+        self.visual = build_vision_tower(
+            self.embed_dim, self.vision_cfg, self.quick_gelu, self.dtype,
+            self.scan_layers, self.remat, name="visual",
+        )
+        self.tabular = TabularEncoder(
+            input_dim=self.tabular_input_dim,
+            hidden_dim=self.tabular_hidden_dim,
+            output_dim=self.embed_dim,
+            layers=self.tabular_layers,
+            dtype=self.dtype,
+            name="tabular",
+        )
+        self.logit_scale = self.param(
+            "logit_scale", lambda key: jnp.asarray(self.init_logit_scale, jnp.float32)
+        )
+
+    def __call__(self, images=None, tabular=None, *, deterministic: bool = True) -> dict:
+        out = {}
+        if images is not None:
+            feats = self.visual(images, deterministic=deterministic)
+            if isinstance(feats, tuple):
+                feats = feats[0]
+            out["image_features"] = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        if tabular is not None:
+            t = self.tabular(tabular.astype(self.dtype))
+            out["text_features"] = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        out["logit_scale"] = jnp.exp(self.logit_scale)
+        return out

@@ -168,7 +168,12 @@ def _forward(model, variables, batch, rng, train: bool):
     kwargs = dict(deterministic=not train)
     if rng is not None and train:
         kwargs["rngs"] = {"dropout": rng}
-    out = model.apply(variables, batch["images"], batch["tokens"], mutable=mutable, **kwargs)
+    second = (
+        batch.get("tabular")
+        if getattr(model, "uses_tabular", False)
+        else batch.get("tokens")
+    )
+    out = model.apply(variables, batch["images"], second, mutable=mutable, **kwargs)
     if mutable:
         return out  # (out_dict, new_mutables)
     return out, {}
