@@ -257,3 +257,57 @@ def load_checkpoint(ckpt_dir: str, step: Optional[int] = None, template: Any = N
 
             return jax.tree.map(replace, template, restored)
         return mgr.restore(step)
+
+
+def config_from_torch_state_dict(state_dict: Dict[str, Any]) -> dict:
+    """Infer the model config from a checkpoint's tensor shapes.
+
+    Reference `build_model_from_openai_state_dict` (model.py:515-571)
+    reconstructs the architecture from shape introspection so OpenAI/open_clip
+    checkpoints load without a JSON config. Returns a factory-style config
+    dict {embed_dim, vision_cfg, text_cfg} (quick_gelu left to the caller —
+    it is not recoverable from shapes).
+    """
+    sd = _strip_module_prefix({k: v for k, v in state_dict.items()})
+
+    def shape(key):
+        return tuple(sd[key].shape)
+
+    vit = "visual.conv1.weight" in sd
+    if not vit:
+        raise NotImplementedError("shape inference currently covers ViT checkpoints")
+
+    conv = shape("visual.conv1.weight")  # torch OIHW: [width, 3, p, p]
+    vision_width, _, patch, _ = conv
+    vision_layers = len(
+        {k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")}
+    )
+    n_pos = shape("visual.positional_embedding")[0]
+    grid = int(round((n_pos - 1) ** 0.5))
+    image_size = grid * patch
+    embed_dim = shape("visual.proj")[1] if "visual.proj" in sd else vision_width
+
+    text_width = shape("ln_final.weight")[0]
+    context_length = shape("positional_embedding")[0]
+    vocab_size = shape("token_embedding.weight")[0]
+    text_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}
+    )
+    text_heads = text_width // 64
+
+    return {
+        "embed_dim": int(embed_dim),
+        "vision_cfg": {
+            "image_size": int(image_size),
+            "layers": int(vision_layers),
+            "width": int(vision_width),
+            "patch_size": int(patch),
+        },
+        "text_cfg": {
+            "context_length": int(context_length),
+            "vocab_size": int(vocab_size),
+            "width": int(text_width),
+            "heads": int(text_heads),
+            "layers": int(text_layers),
+        },
+    }
