@@ -249,6 +249,7 @@ def build_train_step(
     cached_features_accum: bool = False,
     donate: bool = True,
     teacher: Optional[tuple] = None,
+    freeze_bn_subtrees: tuple = (),
 ):
     """Compile the train step.
 
@@ -284,12 +285,21 @@ def build_train_step(
         params = _clamp_logit_scale(params)
         metrics = dict(ldict)
         metrics["grad_norm"] = optax.global_norm(grads)
+        batch_stats = new_mut.get("batch_stats", state.batch_stats)
+        if batch_stats is not None and freeze_bn_subtrees and state.batch_stats is not None:
+            # --lock-image-freeze-bn-stats (reference transformer.py:541 /
+            # utils.freeze_batch_norm_2d): locked towers keep their running
+            # statistics frozen too.
+            batch_stats = dict(batch_stats)
+            for tower in freeze_bn_subtrees:
+                if tower in state.batch_stats:
+                    batch_stats[tower] = state.batch_stats[tower]
         return (
             state.replace(
                 step=state.step + 1,
                 params=params,
                 opt_state=opt_state,
-                batch_stats=new_mut.get("batch_stats", state.batch_stats),
+                batch_stats=batch_stats,
             ),
             metrics,
         )

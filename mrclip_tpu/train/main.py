@@ -227,6 +227,9 @@ def main(args=None):
         accum_freq=args.accum_freq,
         cached_features_accum=args.cached_features_accum,
         teacher=teacher,
+        freeze_bn_subtrees=("visual",)
+        if (args.lock_image and args.lock_image_freeze_bn_stats)
+        else (),
     )
 
     eval_step = jax.jit(
