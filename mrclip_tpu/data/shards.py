@@ -140,6 +140,7 @@ class ShardedTarDataset:
         num_shards_per_epoch: Optional[int] = None,
         sample_shuffle_buffer: int = 1000,
         weights: Optional[str] = None,
+        num_workers: int = 1,
     ):
         self.urls, self.weights = expand_urls(urls, weights)
         self.transform = transform
@@ -153,6 +154,7 @@ class ShardedTarDataset:
         self.resampled = resampled
         self.num_shards_per_epoch = num_shards_per_epoch or len(self.urls)
         self.sample_shuffle_buffer = sample_shuffle_buffer
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -198,19 +200,60 @@ class ShardedTarDataset:
                 item["labels"] = np.int32(int(raw[self.label_ext].decode()))
             return item
 
-        for shard in self._epoch_shards():
-            for raw in _iter_tar_samples(shard):
-                sample = decode(raw)
-                if sample is None:
+        shards = self._epoch_shards()
+        if self.num_workers > 1 and len(shards) > 1:
+            # Parallel shard streams (wds worker-splitting equivalent):
+            # each worker thread reads its shard subset; samples interleave
+            # through a bounded queue. Per-worker order stays deterministic.
+            import queue as _queue
+            import threading
+
+            q: _queue.Queue = _queue.Queue(maxsize=4 * self.num_workers)
+            n_workers = min(self.num_workers, len(shards))
+            done = object()
+
+            def work(worker_shards):
+                for shard in worker_shards:
+                    for raw in _iter_tar_samples(shard):
+                        sample = decode(raw)
+                        if sample is not None:
+                            q.put(sample)
+                q.put(done)
+
+            threads = [
+                threading.Thread(target=work, args=(shards[w::n_workers],), daemon=True)
+                for w in range(n_workers)
+            ]
+            for t in threads:
+                t.start()
+            finished = 0
+            while finished < n_workers:
+                item = q.get()
+                if item is done:
+                    finished += 1
                     continue
                 if self.shuffle and self.sample_shuffle_buffer > 1:
-                    buffer.append(sample)
+                    buffer.append(item)
                     if len(buffer) >= self.sample_shuffle_buffer:
                         idx = rng.randrange(len(buffer))
-                        buffer[idx], sample = sample, buffer[idx]
-                        yield sample
+                        buffer[idx], item = item, buffer[idx]
+                        yield item
                 else:
-                    yield sample
+                    yield item
+        else:
+            for shard in shards:
+                for raw in _iter_tar_samples(shard):
+                    sample = decode(raw)
+                    if sample is None:
+                        continue
+                    if self.shuffle and self.sample_shuffle_buffer > 1:
+                        buffer.append(sample)
+                        if len(buffer) >= self.sample_shuffle_buffer:
+                            idx = rng.randrange(len(buffer))
+                            buffer[idx], sample = sample, buffer[idx]
+                            yield sample
+                    else:
+                        yield sample
         if self.shuffle:
             rng.shuffle(buffer)
         yield from buffer

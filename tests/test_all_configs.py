@@ -1,0 +1,39 @@
+"""Every registered model config must build and shape-check (abstract init —
+no FLOPs), with correct embed dims and tokenizer context."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mrclip_tpu.factory import create_model, get_model_config, get_tokenizer, list_models
+
+
+@pytest.mark.parametrize("name", list_models())
+def test_config_builds_abstractly(name):
+    cfg = get_model_config(name)
+    if cfg["text_cfg"].get("hf_model_name"):
+        pytest.skip("HF text tower requires hub access (zero-egress env)")
+    model, _ = create_model(name, init_params=False)
+
+    image_size = cfg["vision_cfg"]["image_size"]
+    if isinstance(image_size, int):
+        image_size = (image_size, image_size)
+    ctx = cfg["text_cfg"].get("context_length", 98)
+
+    imgs = jnp.zeros((2,) + tuple(image_size) + (3,), jnp.float32)
+    toks = jnp.zeros((2, ctx), jnp.int32)
+    variables_shape = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), imgs, toks)
+    )
+    out_shape = jax.eval_shape(
+        lambda v: model.apply(v, imgs, toks), variables_shape
+    )
+    assert out_shape["image_features"].shape == (2, cfg["embed_dim"])
+    assert out_shape["text_features"].shape == (2, cfg["embed_dim"])
+
+
+def test_mrclip_flagship_context_98():
+    tok = get_tokenizer("ViT-B-16")
+    assert tok.context_length == 98
+    out = tok(["a brain MRI"])
+    assert out.shape == (1, 98)
