@@ -244,6 +244,14 @@ def evaluate(
         else:
             ldict = clip_loss(img_f, txt_f, out["logit_scale"])
         cum_loss += float(ldict["loss"]) * b
+        if "logits" in out and "labels" in out:
+            # CoCa generative val loss (reference maybe_compute_generative_loss,
+            # train.py:536-540).
+            logp = jax.nn.log_softmax(out["logits"].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, out["labels"][..., None], axis=-1)[..., 0]
+            valid = (out["labels"] != 0).astype(jnp.float32)
+            gen = float(jnp.sum(nll * valid) / jnp.clip(jnp.sum(valid), min=1.0))
+            metrics["val_generative_loss"] = metrics.get("val_generative_loss", 0.0) + gen * b
         num_samples += b
 
         if cap is None or len(all_img) * b < cap:
@@ -258,6 +266,8 @@ def evaluate(
         return metrics
 
     metrics["clip_val_loss"] = cum_loss / num_samples
+    if "val_generative_loss" in metrics:
+        metrics["val_generative_loss"] /= num_samples
     if cum_i2t:
         metrics["image_to_text_loss"] = cum_i2t / num_samples
         metrics["text_to_image_loss"] = cum_t2i / num_samples
