@@ -49,7 +49,7 @@ def main():
         steps = min(args.steps, 5)
     else:
         model_name = args.model or "ViT-B-16"
-        batch = args.batch_size or 256
+        batch = args.batch_size or 80
         img_size, ctx = 224, 98
         steps = args.steps
 
