@@ -28,6 +28,7 @@ def main():
     parser.add_argument("--remat", action="store_true", help="per-block grad checkpointing")
     parser.add_argument("--fused", action="store_true", help="fuse timed steps into one lax.scan dispatch")
     parser.add_argument("--no-scan", action="store_true", help="unroll transformer layers instead of lax.scan")
+    parser.add_argument("--precision", type=str, default=None, help="override precision (bf16|pure_bf16|fp32)")
     args = parser.parse_args()
 
     import jax
@@ -55,7 +56,7 @@ def main():
 
     model, variables = create_model(
         model_name,
-        precision="bf16" if on_tpu else "fp32",
+        precision=args.precision or ("bf16" if on_tpu else "fp32"),
         grad_checkpointing=args.remat,
         scan_layers=False if args.no_scan else None,
     )

@@ -243,6 +243,20 @@ def create_model(
         sample_txt = jnp.zeros((1, context_length), jnp.int32)
         variables = model.init(jax.random.key(rng_seed), sample_img, sample_txt)
         variables = dict(variables)  # unfreeze top level
+        if precision.startswith("pure_"):
+            # pure bf16: weights themselves stored low-precision (reference
+            # convert_weights_to_lp, model.py:463-493). logit_scale stays fp32.
+            target = jnp.bfloat16
+
+            def cast(path, leaf):
+                name = jax.tree_util.keystr(path)
+                if "logit" in name:
+                    return leaf
+                return leaf.astype(target)
+
+            variables["params"] = jax.tree_util.tree_map_with_path(
+                cast, variables["params"]
+            )
 
     if pretrained:
         from .checkpoint import load_torch_checkpoint

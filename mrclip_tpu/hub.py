@@ -27,13 +27,17 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
         sd[key] = np.asarray(val)
 
     def export_blocks(tree, prefix):
-        blocks = tree["transformer"]["blocks"]
-        if "block" in blocks:
+        blocks = tree["transformer"].get("blocks")
+        if blocks is not None and "block" in blocks:
             stacked = blocks["block"]
             n = next(iter_leaves(stacked)).shape[0]
             layers = [index_tree(stacked, i) for i in range(n)]
         else:
-            layers = [tree["transformer"][k] for k in sorted(tree["transformer"])]
+            keys = sorted(
+                (k for k in tree["transformer"] if k.startswith("blocks_")),
+                key=lambda k: int(k.split("_")[-1]),
+            )
+            layers = [tree["transformer"][k] for k in keys]
         for i, blk in enumerate(layers):
             bp = f"{prefix}transformer.resblocks.{i}."
             put(bp + "ln_1.weight", blk["ln_1"]["scale"])

@@ -40,7 +40,7 @@ def _delta_tree(a, b):
 
 
 def _run_step(args):
-    model, variables = create_model("ViT-B-32-mini")
+    model, variables = create_model("ViT-B-32-mini", scan_layers=True)
     mask = build_trainable_mask(variables["params"], args)
     tx = chain_with_mask(create_optimizer(lr=1e-2, wd=0.1), mask)
     state = create_train_state(variables, tx)

@@ -25,7 +25,7 @@ from mrclip_tpu.pretrained import (
 
 
 def test_export_import_roundtrip():
-    _, variables = create_model("ViT-B-32-mini")
+    _, variables = create_model("ViT-B-32-mini", scan_layers=True)
     params = variables["params"]
     sd = export_torch_state_dict(params, scan_layers=True)
     assert "visual.conv1.weight" in sd
@@ -39,6 +39,20 @@ def test_export_import_roundtrip():
     for path, val in flat_a:
         key = jax.tree_util.keystr(path)
         assert key in flat_b, key
+        np.testing.assert_allclose(np.asarray(val), np.asarray(flat_b[key]), atol=1e-6, err_msg=key)
+
+
+def test_export_import_roundtrip_unrolled():
+    _, variables = create_model("ViT-B-32-mini", scan_layers=False)
+    params = variables["params"]
+    sd = export_torch_state_dict(params, scan_layers=False)
+    back = import_torch_state_dict(sd, scan_layers=False)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(
+        (jax.tree_util.keystr(p), v) for p, v in jax.tree_util.tree_flatten_with_path(back)[0]
+    )
+    for path, val in flat_a:
+        key = jax.tree_util.keystr(path)
         np.testing.assert_allclose(np.asarray(val), np.asarray(flat_b[key]), atol=1e-6, err_msg=key)
 
 
@@ -106,7 +120,7 @@ def test_big_vision_converter():
 
 
 def test_save_for_hf(tmp_path):
-    _, variables = create_model("ViT-B-32-mini")
+    _, variables = create_model("ViT-B-32-mini", scan_layers=True)
     save_for_hf(
         variables["params"],
         {"embed_dim": 64},

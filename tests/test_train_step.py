@@ -54,7 +54,7 @@ def test_factory_registry():
 
 @pytest.fixture(scope="module")
 def model_and_state():
-    model, variables = create_model("ViT-B-32-mini")
+    model, variables = create_model("ViT-B-32-mini", scan_layers=True)
     mesh = create_mesh(dp=4, fsdp=1, tp=2)
     tx = create_optimizer(lr=cosine_lr(1e-3, 10, 100), wd=0.1, grad_clip_norm=1.0)
     state = create_train_state(variables, tx, mesh)
