@@ -205,6 +205,7 @@ def multipositive_clip_loss_with_vision(
     lam: float = 0.3,
     axis_name: Optional[str] = None,
     gather_with_grad: bool = True,
+    constrain=None,
 ) -> dict:
     """i2t + t2i + lambda * img2img three-term variant
     (reference MultiPositiveClipLosswithVision, loss copy.py:894-976)."""
