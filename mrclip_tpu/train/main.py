@@ -266,11 +266,23 @@ def main(args=None):
         except ImportError:
             logging.warning("wandb not available; skipping")
 
+    vision_only = args.visiononly and args.multipositiveloss
+    if vision_only:
+        # image-only SimCLR-style path (reference train.py:543-857)
+        from .vision_only import build_vision_only_step, evaluate_vision_only, train_one_epoch_vision_only
+
+        step_fn = build_vision_only_step(model, tx, mesh)
+
     for epoch in range(start_epoch, args.epochs):
         logging.info(f"Start epoch {epoch}")
-        state, train_metrics = train_one_epoch(
-            step_fn, state, data, epoch, args, mesh, schedule, writer, augment_fn
-        )
+        if vision_only:
+            state, train_metrics = train_one_epoch_vision_only(
+                step_fn, state, data, epoch, args, mesh, schedule
+            )
+        else:
+            state, train_metrics = train_one_epoch(
+                step_fn, state, data, epoch, args, mesh, schedule, writer, augment_fn
+            )
         completed_epoch = epoch + 1
 
         # checkpoint (reference main.py:522-555); orbax manager handles
@@ -287,10 +299,13 @@ def main(args=None):
         if "val" in data and (
             completed_epoch % args.val_frequency == 0 or completed_epoch == args.epochs
         ):
-            evaluate(
-                model, state, data, completed_epoch, args,
-                eval_step=eval_step, writer=writer, tokenizer=tokenizer,
-            )
+            if vision_only:
+                evaluate_vision_only(model, state, data, completed_epoch, args)
+            else:
+                evaluate(
+                    model, state, data, completed_epoch, args,
+                    eval_step=eval_step, writer=writer, tokenizer=tokenizer,
+                )
 
     if remote_sync_process is not None:
         remote_sync_process.terminate()
