@@ -382,6 +382,17 @@ def create_loss(args) -> Callable[..., dict]:
                 delta=get("delta", 0.5),
                 gather_with_grad=get("gather_with_grad", True),
             )
+        if get("chunked_loss"):
+            # streaming negatives: never materializes the N x N logit matrix
+            # (ops/fused_loss.py; the 32k-global-batch memory path)
+            from .ops.fused_loss import chunked_multipositive_clip_loss
+
+            return partial(
+                chunked_multipositive_clip_loss,
+                delta=get("delta", 0.5),
+                chunk_size=get("loss_chunk_size", 1024),
+                gather_with_grad=get("gather_with_grad", True),
+            )
         return partial(
             multipositive_clip_loss,
             delta=get("delta", 0.5),

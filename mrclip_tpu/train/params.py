@@ -181,6 +181,9 @@ def parse_args(args=None) -> argparse.Namespace:
                    help="Unique3DSampler instead of UniqueLabelSampler")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace window to this dir")
+    p.add_argument("--chunked-loss", default=False, action="store_true",
+                   help="streaming multipositive loss (no N^2 logits; 32k-batch path)")
+    p.add_argument("--loss-chunk-size", type=int, default=1024)
     p.add_argument("--native-loader", default=False, action="store_true",
                    help="C++ threaded PNG decode feeding uint8 canvases "
                         "(pair with --device-augment)")
