@@ -341,32 +341,6 @@ def evaluate(
     return metrics
 
 
-def _encode_dataset(model, state, loader, eval_step=None, encode_images=True, collect=("images",)):
-    """Stream a loader through the towers, returning numpy features."""
-    variables = state.variables()
-    if eval_step is None:
-        eval_step = jax.jit(
-            lambda variables, batch: model.apply(variables, batch.get("images"), batch.get("tokens"))
-        )
-    feats = defaultdict(list)
-    for batch in loader:
-        captions = batch.pop("caption", None)
-        device_batch = jax.tree.map(
-            jnp.asarray, {k: v for k, v in batch.items() if not isinstance(v, list)}
-        )
-        out = eval_step(variables, device_batch)
-        if "image_features" in out:
-            feats["image"].append(np.asarray(out["image_features"]))
-        if "text_features" in out:
-            feats["text"].append(np.asarray(out["text_features"]))
-        if "labels" in batch:
-            feats["labels"].append(np.asarray(batch["labels"]))
-        if captions is not None:
-            feats["captions"].extend(captions)
-        feats["scale"] = float(out["logit_scale"])
-    return feats
-
-
 def test_metrics(model, state, data, args, tokenizer=None) -> dict:
     """Full-dataset test eval with 3D voting (reference train.py:859-1222).
 
@@ -399,7 +373,9 @@ def test_metrics(model, state, data, args, tokenizer=None) -> dict:
     encode_image = jax.jit(lambda v, im: model.apply(v, im, None)["image_features"])
     img_feats, img_labels = [], []
     for batch in loader:
-        device_imgs = jnp.asarray(batch["images"])
+        device_imgs = _maybe_preprocess_images(
+            {"images": jnp.asarray(batch["images"])}, args
+        )["images"]
         img_feats.append(np.asarray(encode_image(variables, device_imgs)))
         img_labels.append(np.asarray(batch["labels"]))
     img = np.concatenate(img_feats)
@@ -461,7 +437,12 @@ def get_features(model, state, loader) -> tuple:
     encode_image = jax.jit(lambda v, im: model.apply(v, im, None)["image_features"])
     feats, labels = [], []
     for batch in loader:
-        feats.append(np.asarray(encode_image(variables, jnp.asarray(batch["images"]))))
+        imgs = jnp.asarray(batch["images"])
+        if imgs.dtype == jnp.uint8:
+            from ..ops.image_ops import eval_preprocess_batch
+
+            imgs = eval_preprocess_batch(imgs, out_size=imgs.shape[1:3])
+        feats.append(np.asarray(encode_image(variables, imgs)))
         labels.append(np.asarray(batch["labels"]))
     return np.concatenate(feats), np.concatenate(labels)
 
