@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import DEFAULT_CONTEXT_LENGTH
 from .losses import (
     clip_loss,
     coca_loss,

@@ -5,8 +5,9 @@ Capability parity with reference `src/open_clip/transformer.py:434-656`
 sin-cos) -> patch dropout -> ln_pre -> Transformer -> pool
 (tok/avg/none/attentional) -> ln_post -> projection.
 
-Layout is NHWC (TPU-native conv layout); patchify is a single strided conv
-that XLA lowers onto the MXU.
+Layout is NHWC; patchify is an explicit reshape + one big matmul (a
+stride-p conv is exactly a dense layer over flattened patches) so the op
+maps directly onto the MXU with no conv lowering.
 """
 
 from __future__ import annotations
