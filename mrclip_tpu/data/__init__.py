@@ -116,16 +116,17 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
         from .native_loader import NativeBatchLoader
 
         size = getattr(args, "image_size", 224)
-        canvas = int(size * 256 / 224) if is_train else size  # headroom for crops
         loader = NativeBatchLoader(
             dataset,
             batch_size=batch_size,
             sampler=sampler,
-            canvas_size=(canvas, canvas),
+            canvas_size=(size, size),
             tokenizer=tokenizer,
             with_times=with_times,
             num_threads=getattr(args, "workers", 0),
             drop_last=is_train,
+            augment=is_train,  # train: full native warp; eval: plain decode
+            seed=seed,
         )
         return DataInfo(loader, sampler)
 

@@ -20,7 +20,7 @@ from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import numpy as np
 
-from ..native import load_batch
+from ..native import augment_batch, augment_matrices, load_batch
 from .csv_dataset import extract_times
 
 __all__ = ["NativeBatchLoader"]
@@ -40,6 +40,8 @@ class NativeBatchLoader:
         num_threads: int = 0,
         prefetch_batches: int = 4,
         drop_last: bool = True,
+        augment: bool = False,
+        seed: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,9 +52,14 @@ class NativeBatchLoader:
         self.num_threads = num_threads
         self.prefetch_batches = prefetch_batches
         self.drop_last = drop_last
+        self.augment = augment
+        self.seed = seed
+        self._epoch = 0
+        self._batch_counter = 0
         self._token_cache: Dict[str, np.ndarray] = {}
 
     def set_epoch(self, epoch: int):
+        self._epoch = epoch
         if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
 
@@ -70,7 +77,20 @@ class NativeBatchLoader:
     def _make_batch(self, idxs) -> dict:
         ds = self.dataset
         paths = [str(ds.images[i]) for i in idxs]
-        images, status = load_batch(paths, self.canvas_size, num_threads=self.num_threads)
+        if self.augment:
+            # full MR-CLIP augmentation in the native warp (deterministic
+            # per epoch/batch); the device only normalizes.
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + self._epoch * 131 + self._batch_counter) % (2**31)
+            )
+            self._batch_counter += 1
+            matrices = augment_matrices(rng, len(paths))
+            sigmas = rng.uniform(0.1, 2.0, len(paths)).astype(np.float32)
+            images, status = augment_batch(
+                paths, self.canvas_size, matrices, sigmas, num_threads=self.num_threads
+            )
+        else:
+            images, status = load_batch(paths, self.canvas_size, num_threads=self.num_threads)
         batch = {
             "images": images,
             "labels": np.asarray([ds.labels[i] for i in idxs], np.int32),

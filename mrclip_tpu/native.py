@@ -119,3 +119,99 @@ def load_batch(
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out, status
+
+
+def augment_matrices(
+    rng: np.random.RandomState,
+    n: int,
+    crop_scale=(0.9, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+    degrees=(-20.0, 20.0),
+    translate=(0.3, 0.3),
+    affine_scale=(0.8, 1.2),
+    hflip_prob: float = 0.5,
+) -> np.ndarray:
+    """Per-image output->input affine matrices in normalized [0,1] coords.
+
+    Composes the MR-CLIP chain (RandomResizedCrop -> RandomAffine -> flip,
+    reference transform.py:334-347) into one 2x3 matrix per image, consumed
+    by the native warp (`mrclip_augment_batch`). Rows: (a, b, tx, c, d, ty)
+    with src_x = a*x + b*y + tx, src_y = c*x + d*y + ty.
+    """
+    out = np.empty((n, 6), np.float32)
+    for i in range(n):
+        # RandomAffine (output->crop space), rotation about center
+        theta = np.deg2rad(rng.uniform(*degrees))
+        s = rng.uniform(*affine_scale)
+        tx = rng.uniform(-translate[0], translate[0])
+        ty = rng.uniform(-translate[1], translate[1])
+        cos, sin = np.cos(theta) / s, np.sin(theta) / s
+        m_aff = np.array([[cos, sin], [-sin, cos]], np.float64)
+        c = np.array([0.5, 0.5])
+        off_aff = c - m_aff @ (c + np.array([tx, ty]))
+
+        # flip in output space
+        if rng.rand() < hflip_prob:
+            m_flip = np.array([[-1.0, 0.0], [0.0, 1.0]])
+            off_flip = np.array([1.0, 0.0])
+        else:
+            m_flip = np.eye(2)
+            off_flip = np.zeros(2)
+
+        # RandomResizedCrop (crop space -> input space), normalized box
+        area = rng.uniform(*crop_scale)
+        aspect = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        cw = min(1.0, np.sqrt(area * aspect))
+        ch = min(1.0, np.sqrt(area / aspect))
+        x0 = rng.uniform(0.0, 1.0 - cw) if cw < 1.0 else 0.0
+        y0 = rng.uniform(0.0, 1.0 - ch) if ch < 1.0 else 0.0
+        m_crop = np.diag([cw, ch])
+        off_crop = np.array([x0, y0])
+
+        # total: p_in = crop(aff(flip(p_out)))
+        m = m_crop @ m_aff @ m_flip
+        off = m_crop @ (m_aff @ off_flip + off_aff) + off_crop
+        out[i] = [m[0, 0], m[0, 1], off[0], m[1, 0], m[1, 1], off[1]]
+    return out
+
+
+def augment_batch(
+    paths: List[str],
+    out_size: Tuple[int, int],
+    matrices: np.ndarray,
+    blur_sigmas: Optional[np.ndarray] = None,
+    channels: int = 3,
+    num_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode + warp + blur a batch natively -> [N, H, W, C] uint8."""
+    lib = _get_lib()
+    n = len(paths)
+    oh, ow = out_size
+    out = np.zeros((n, oh, ow, channels), np.uint8)
+    status = np.zeros((n,), np.int32)
+    matrices = np.ascontiguousarray(matrices, np.float32)
+    if blur_sigmas is None:
+        blur_sigmas = np.zeros((n,), np.float32)
+    blur_sigmas = np.ascontiguousarray(blur_sigmas, np.float32)
+    if lib is None:
+        raise RuntimeError("libmrclip_native.so not built (make -C native)")
+    if not hasattr(lib, "_augment_configured"):
+        lib.mrclip_augment_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib._augment_configured = True
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.mrclip_augment_batch(
+        c_paths, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        oh, ow, channels,
+        matrices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        blur_sigmas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, status

@@ -38,6 +38,18 @@ from ..parallel import local_batch_to_global
 from .metrics import get_clip_metrics, volume_voting_metrics
 
 
+_normalize_fn = None
+
+
+def _get_normalize():
+    global _normalize_fn
+    if _normalize_fn is None:
+        from ..ops.image_ops import normalize_images
+
+        _normalize_fn = jax.jit(normalize_images)
+    return _normalize_fn
+
+
 def _maybe_preprocess_images(batch: dict, args) -> dict:
     """Native-loader batches arrive as raw uint8 canvases; run the
     deterministic device-side eval preprocessing (resize/crop/normalize)."""
@@ -122,6 +134,9 @@ def train_one_epoch(
         batch = _to_device(batch, mesh, args)
         if augment_fn is not None:
             batch["images"] = augment_fn(batch["images"], jax.random.fold_in(rng, 2 * i + 1))
+        elif batch["images"].dtype == jnp.uint8:
+            # natively-augmented uint8 batch: normalize on device
+            batch["images"] = _get_normalize()(batch["images"])
         data_time_m.update(time.time() - end)
 
         state, metrics = step_fn(state, batch, jax.random.fold_in(rng, 2 * i))

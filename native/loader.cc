@@ -7,6 +7,7 @@
 // augmentation (mrclip_tpu/ops/image_ops.py) takes it from there.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -82,14 +83,160 @@ void mrclip_load_batch(const char** paths, int n, uint8_t* out, int out_h,
       std::memset(dst, 0, out_stride);
       if (!read_file(paths[i], &file_buf)) continue;
 
-      // Worst-case RGB of a large slice; grown on demand.
+      if (file_buf.size() < 24) continue;
+      uint32_t pw = (file_buf[16] << 24) | (file_buf[17] << 16) | (file_buf[18] << 8) | file_buf[19];
+      uint32_t ph = (file_buf[20] << 24) | (file_buf[21] << 16) | (file_buf[22] << 8) | file_buf[23];
+      if ((size_t)pw * ph > (size_t)8192 * 8192) continue;
+      if (pixels.size() < (size_t)pw * ph * channels)
+        pixels.resize((size_t)pw * ph * channels);
       int w = 0, h = 0;
-      pixels.resize((size_t)4096 * 4096 * channels);
       int rc = mrclip_png_decode(file_buf.data(), (long)file_buf.size(),
                                  pixels.data(), channels, &w, &h);
       status[i] = rc;
       if (rc != 0) continue;
       resize_bilinear(pixels.data(), h, w, channels, dst, out_h, out_w);
+    }
+  };
+
+  int t = num_threads > 0 ? num_threads : (int)std::thread::hardware_concurrency();
+  if (t > n) t = n;
+  if (t <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
+namespace {
+
+// Bilinear sample with out-of-bounds -> 0 (torchvision affine fill).
+inline void sample_bilinear(const uint8_t* src, int sh, int sw, int c,
+                            float fy, float fx, uint8_t* out_px) {
+  int y0 = (int)std::floor(fy);
+  int x0 = (int)std::floor(fx);
+  float wy = fy - y0, wx = fx - x0;
+  for (int ch = 0; ch < c; ++ch) {
+    float acc = 0.f;
+    for (int dy = 0; dy < 2; ++dy) {
+      int yy = y0 + dy;
+      float rowf = 0.f;
+      if (yy >= 0 && yy < sh) {
+        for (int dx = 0; dx < 2; ++dx) {
+          int xx = x0 + dx;
+          float v = (xx >= 0 && xx < sw) ? src[(yy * sw + xx) * c + ch] : 0.f;
+          rowf += v * (dx ? wx : 1.f - wx);
+        }
+      }
+      acc += rowf * (dy ? wy : 1.f - wy);
+    }
+    out_px[ch] = (uint8_t)(acc + 0.5f);
+  }
+}
+
+// Separable 3x3 gaussian blur, sigma per image.
+void blur3(uint8_t* img, int h, int w, int c, float sigma, float* tmp) {
+  float k1 = std::exp(-0.5f / (sigma * sigma));
+  float k0 = 1.f, norm = k0 + 2 * k1;
+  k0 /= norm; k1 /= norm;
+  // horizontal
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int xm = x > 0 ? x - 1 : 0, xp = x < w - 1 ? x + 1 : w - 1;
+      for (int ch = 0; ch < c; ++ch)
+        tmp[(y * w + x) * c + ch] = k1 * img[(y * w + xm) * c + ch] +
+                                    k0 * img[(y * w + x) * c + ch] +
+                                    k1 * img[(y * w + xp) * c + ch];
+    }
+  }
+  // vertical
+  for (int y = 0; y < h; ++y) {
+    int ym = y > 0 ? y - 1 : 0, yp = y < h - 1 ? y + 1 : h - 1;
+    for (int x = 0; x < w; ++x)
+      for (int ch = 0; ch < c; ++ch)
+        img[(y * w + x) * c + ch] = (uint8_t)(
+            k1 * tmp[(ym * w + x) * c + ch] + k0 * tmp[(y * w + x) * c + ch] +
+            k1 * tmp[(yp * w + x) * c + ch] + 0.5f);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode PNGs and apply a full train-time augmentation per image:
+// a 2x3 output->input affine matrix (composing resized-crop, rotation,
+// translation, scale, flip — computed by the Python side against the
+// DECODED image size normalized to [0,1] coords), then 3x3 gaussian blur.
+// `matrices`: [n, 6] row-major (a, b, tx, c, d, ty) in NORMALIZED input
+// coords: src_x = (a*x + b*y + tx) * (sw-1), src_y = (c*x + d*y + ty) * (sh-1)
+// where (x, y) are normalized output coords in [0, 1].
+void mrclip_augment_batch(const char** paths, int n, uint8_t* out, int out_h,
+                          int out_w, int channels, const float* matrices,
+                          const float* blur_sigmas, int num_threads,
+                          int* status) {
+  std::atomic<int> next{0};
+  const size_t out_stride = (size_t)out_h * out_w * channels;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> file_buf;
+    std::vector<uint8_t> pixels;
+    std::vector<float> tmp((size_t)out_h * out_w * channels);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      status[i] = -100;
+      uint8_t* dst = out + (size_t)i * out_stride;
+      std::memset(dst, 0, out_stride);
+      if (!read_file(paths[i], &file_buf)) continue;
+      // size the decode buffer from IHDR (big-endian w/h at offsets 16/20)
+      if (file_buf.size() < 24) continue;
+      uint32_t pw = (file_buf[16] << 24) | (file_buf[17] << 16) | (file_buf[18] << 8) | file_buf[19];
+      uint32_t ph = (file_buf[20] << 24) | (file_buf[21] << 16) | (file_buf[22] << 8) | file_buf[23];
+      if ((size_t)pw * ph > (size_t)8192 * 8192) continue;
+      if (pixels.size() < (size_t)pw * ph * channels)
+        pixels.resize((size_t)pw * ph * channels);
+      int w = 0, h = 0;
+      int rc = mrclip_png_decode(file_buf.data(), (long)file_buf.size(),
+                                 pixels.data(), channels, &w, &h);
+      status[i] = rc;
+      if (rc != 0) continue;
+
+      const float* m = matrices + (size_t)i * 6;
+      const float sx_step = (out_w > 1 ? m[0] / (out_w - 1) : 0.f) * (w - 1);
+      const float sy_step = (out_w > 1 ? m[3] / (out_w - 1) : 0.f) * (h - 1);
+      const uint8_t* src = pixels.data();
+      for (int y = 0; y < out_h; ++y) {
+        float ny = out_h > 1 ? (float)y / (out_h - 1) : 0.f;
+        // incremental source coords along the row
+        float sx = (m[1] * ny + m[2]) * (w - 1);
+        float sy = (m[4] * ny + m[5]) * (h - 1);
+        uint8_t* row = dst + (size_t)y * out_w * channels;
+        for (int x = 0; x < out_w; ++x, sx += sx_step, sy += sy_step) {
+          int x0 = (int)std::floor(sx);
+          int y0 = (int)std::floor(sy);
+          uint8_t* px = row + (size_t)x * channels;
+          if (x0 >= 0 && y0 >= 0 && x0 + 1 < w && y0 + 1 < h) {
+            // interior fast path: no bounds checks
+            float wx = sx - x0, wy = sy - y0;
+            const uint8_t* p00 = src + ((size_t)y0 * w + x0) * channels;
+            const uint8_t* p10 = p00 + (size_t)w * channels;
+            float w00 = (1.f - wx) * (1.f - wy), w01 = wx * (1.f - wy);
+            float w10 = (1.f - wx) * wy, w11 = wx * wy;
+            for (int ch = 0; ch < channels; ++ch)
+              px[ch] = (uint8_t)(w00 * p00[ch] + w01 * p00[channels + ch] +
+                                 w10 * p10[ch] + w11 * p10[channels + ch] + 0.5f);
+          } else {
+            sample_bilinear(src, h, w, channels, sy, sx, px);
+          }
+        }
+      }
+      if (blur_sigmas && blur_sigmas[i] > 0.f)
+        blur3(dst, out_h, out_w, channels, blur_sigmas[i], tmp.data());
     }
   };
 
