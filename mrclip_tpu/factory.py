@@ -381,6 +381,15 @@ def create_loss(args) -> Callable[..., dict]:
                 delta=get("delta", 0.5),
                 gather_with_grad=get("gather_with_grad", True),
             )
+        if get("pallas_loss"):
+            # fused Pallas kernel: logit tiles never leave VMEM
+            from .ops.pallas_loss import pallas_multipositive_clip_loss
+
+            return partial(
+                pallas_multipositive_clip_loss,
+                delta=get("delta", 0.5),
+                gather_with_grad=get("gather_with_grad", True),
+            )
         if get("chunked_loss"):
             # streaming negatives: never materializes the N x N logit matrix
             # (ops/fused_loss.py; the 32k-global-batch memory path)

@@ -265,3 +265,48 @@ def _bwd(block_q, block_k, interpret, residuals, g):
 
 
 pallas_multipositive_loss.defvjp(_fwd, _bwd)
+
+
+def pallas_multipositive_clip_loss(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    labels: jax.Array,
+    logit_scale: jax.Array,
+    *,
+    delta: float = 0.5,
+    block_q: int = 256,
+    block_k: int = 512,
+    axis_name=None,
+    gather_with_grad: bool = True,
+    constrain=None,
+) -> dict:
+    """Drop-in `multipositive_clip_loss` backed by the fused Pallas kernel.
+
+    Batch sizes must tile by the block sizes (blocks shrink automatically to
+    the batch). Interpret mode engages off-TPU so tests/CPU runs work.
+    """
+    if axis_name is not None:
+        from ..losses.gather import gather_features
+
+        all_img = gather_features(image_features, axis_name, gather_with_grad=gather_with_grad)
+        all_txt = gather_features(text_features, axis_name, gather_with_grad=gather_with_grad)
+        all_labels = gather_features(labels, axis_name, gather_with_grad=True)
+    else:
+        all_img, all_txt, all_labels = image_features, text_features, labels
+
+    interpret = jax.default_backend() != "tpu"
+    bq = min(block_q, image_features.shape[0])
+    bk = min(block_k, all_txt.shape[0])
+    loss_img = pallas_multipositive_loss(
+        image_features, all_txt, labels, all_labels, logit_scale, bq, bk, interpret
+    )
+    loss_txt = pallas_multipositive_loss(
+        text_features, all_img, labels, all_labels, logit_scale, bq, bk, interpret
+    )
+    loss = delta * loss_img + (1.0 - delta) * loss_txt
+    return {
+        "loss": loss,
+        "multi_contrastive_loss": loss,
+        "image_to_text_loss": loss_img,
+        "text_to_image_loss": loss_txt,
+    }

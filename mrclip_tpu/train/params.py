@@ -171,7 +171,9 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--mesh-tp", type=int, default=1, help="tensor-parallel mesh axis size")
     p.add_argument(
         "--device-augment", default=False, action="store_true",
-        help="run train augmentations as a fused XLA program on device",
+        help="run train augmentations as a fused XLA program on device "
+             "(NOTE: the affine warp gathers poorly on TPU — prefer "
+             "--native-loader, whose C++ warp is ~20x faster per core)",
     )
     p.add_argument(
         "--cached-features-accum", default=False, action="store_true",
@@ -181,6 +183,8 @@ def parse_args(args=None) -> argparse.Namespace:
                    help="Unique3DSampler instead of UniqueLabelSampler")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace window to this dir")
+    p.add_argument("--pallas-loss", default=False, action="store_true",
+                   help="fused Pallas multipositive loss kernel (logit tiles stay in VMEM)")
     p.add_argument("--chunked-loss", default=False, action="store_true",
                    help="streaming multipositive loss (no N^2 logits; 32k-batch path)")
     p.add_argument("--loss-chunk-size", type=int, default=1024)
