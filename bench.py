@@ -29,6 +29,7 @@ def main():
     parser.add_argument("--fused", action="store_true", help="fuse timed steps into one lax.scan dispatch")
     parser.add_argument("--no-scan", action="store_true", help="unroll transformer layers instead of lax.scan")
     parser.add_argument("--precision", type=str, default=None, help="override precision (bf16|pure_bf16|fp32)")
+    parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
     args = parser.parse_args()
 
     import jax
@@ -68,6 +69,9 @@ def main():
         lam = None
         model = model_name
         gather_with_grad = True
+        chunked_loss = args.loss_impl == "chunked"
+        pallas_loss = args.loss_impl == "pallas"
+        loss_chunk_size = 1024
 
     tx = create_optimizer(lr=1e-4, wd=0.2)
     state = create_train_state(variables, tx)

@@ -230,6 +230,9 @@ def make_loss_apply(loss_fn: Callable[..., dict], mesh: Optional[Mesh] = None) -
                 args.append(kwargs.pop("labels"))
         if "echo_time" in kwargs:
             args.extend([kwargs.pop("echo_time"), kwargs.pop("repetition_time")])
+        if "caption_logits" in sig_params:
+            # CoCa: teacher-forced decoder logits + shifted labels
+            args.extend([model_out["logits"], model_out["labels"]])
         args.append(model_out["logit_scale"])
         args.extend(kwargs_post)
         if "logit_bias" in kwargs:
