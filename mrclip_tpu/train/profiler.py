@@ -31,8 +31,10 @@ def profile_model(model_name: str, batch_size: int = 1, force_image_size: Option
 
     from ..factory import create_model, get_model_config
 
-    model, variables = create_model(
-        model_name, force_image_size=force_image_size, init_params=True
+    # scan_layers=False: XLA cost analysis counts while-loop bodies once,
+    # undercounting scanned stacks; unrolled graphs report true totals.
+    model, _ = create_model(
+        model_name, force_image_size=force_image_size, init_params=False, scan_layers=False
     )
     cfg = get_model_config(model_name)
     image_size = force_image_size or cfg["vision_cfg"]["image_size"]
@@ -40,21 +42,30 @@ def profile_model(model_name: str, batch_size: int = 1, force_image_size: Option
         image_size = (image_size, image_size)
     ctx = cfg["text_cfg"].get("context_length", 98)
 
-    images = jnp.zeros((batch_size,) + tuple(image_size) + (3,), jnp.float32)
-    tokens = jnp.zeros((batch_size, ctx), jnp.int32)
+    images = jax.ShapeDtypeStruct((batch_size,) + tuple(image_size) + (3,), jnp.float32)
+    tokens = jax.ShapeDtypeStruct((batch_size, ctx), jnp.int32)
+
+    # Abstract init: shapes only, no weight materialization (cheap for L-size).
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0),
+            jnp.zeros((1,) + tuple(image_size) + (3,), jnp.float32),
+            jnp.zeros((1, ctx), jnp.int32),
+        )
+    )
 
     def flops_of(fn, *args) -> Optional[float]:
         try:
-            compiled = jax.jit(fn).lower(*args).compile()
+            compiled = jax.jit(fn).lower(variables, *args).compile()
             analyses = compiled.cost_analysis()
             analysis = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
             return float(analysis.get("flops", float("nan")))
         except Exception:
             return None
 
-    image_flops = flops_of(lambda im: model.apply(variables, im, None), images)
-    text_flops = flops_of(lambda tk: model.apply(variables, None, tk), tokens)
-    total_flops = flops_of(lambda im, tk: model.apply(variables, im, tk), images, tokens)
+    image_flops = flops_of(lambda v, im: model.apply(v, im, None), images)
+    text_flops = flops_of(lambda v, tk: model.apply(v, None, tk), tokens)
+    total_flops = flops_of(lambda v, im, tk: model.apply(v, im, tk), images, tokens)
 
     params = variables["params"]
     res = {
