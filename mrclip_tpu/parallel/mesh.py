@@ -111,9 +111,8 @@ def param_sharding_rules(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
                 best = max(free_dims, key=lambda d: shape[d])
                 if _dim_divisible(shape, best, fsdp_size):
                     spec[best] = "fsdp"
-    elif ndim == 1 and fsdp_size > 1 and ("bias" not in path and "scale" not in path):
-        if _dim_divisible(shape, 0, fsdp_size):
-            pass  # keep 1-D embeddings replicated; not worth the gather
+    # 1-D params (biases, norms, small embeddings) stay replicated: the
+    # gather cost outweighs the memory saved.
     return P(*spec)
 
 
