@@ -155,13 +155,14 @@ def train_one_epoch(
             num_samples = (i + 1) * args.batch_size
             pct = 100.0 * (i + 1) / num_batches
             samples_per_s = args.accum_freq * args.batch_size * world_size / max(batch_time_m.val, 1e-9)
+            samples_per_s_per_dev = samples_per_s / max(jax.device_count(), 1)
             loss_val = losses_m["loss"].val if losses_m else float(metrics["loss"])
             lr = float(schedule(step)) if schedule is not None else args.lr
             logging.info(
                 f"Train Epoch: {epoch} [{num_samples:>{sample_digits}}/{num_batches * args.batch_size} ({pct:.0f}%)] "
                 f"Loss: {loss_val:#.5g} "
                 f"Data (t): {data_time_m.avg:.3f} Batch (t): {batch_time_m.avg:.3f}, "
-                f"{samples_per_s:#g}/s LR: {lr:5f}"
+                f"{samples_per_s:#g}/s, {samples_per_s_per_dev:#g}/s/dev LR: {lr:5f}"
             )
             if writer is not None:
                 log_data = {
@@ -169,6 +170,7 @@ def train_one_epoch(
                     "data_time": data_time_m.val,
                     "batch_time": batch_time_m.val,
                     "samples_per_second": samples_per_s,
+                    "samples_per_second_per_device": samples_per_s_per_dev,
                     "lr": lr,
                 }
                 for name, val in log_data.items():
