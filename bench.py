@@ -23,7 +23,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="tiny model, few steps (CI)")
     parser.add_argument("--batch-size", type=int, default=None)
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--model", type=str, default=None)
     parser.add_argument("--remat", action="store_true", help="per-block grad checkpointing")
     parser.add_argument("--fused", action="store_true", help="fuse timed steps into one lax.scan dispatch")

@@ -1,0 +1,66 @@
+"""Driver surfaces: bench.py --quick and __graft_entry__ (entry +
+dryrun_multichip) must stay runnable on CPU — the round driver invokes
+all three directly."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = __file__.rsplit("/tests/", 1)[0]
+
+
+def test_bench_quick_cli():
+    """`python bench.py --quick` prints exactly one valid JSON metric line."""
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--quick"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["unit"] == "pairs/sec/chip"
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+
+
+def test_graft_entry_forward():
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    logits = jax.jit(fn)(*example_args)
+    assert logits.shape == (4, 4)
+    assert bool(np.all(np.isfinite(np.asarray(logits, np.float32))))
+
+
+def test_dryrun_multichip_subprocess():
+    """Run in a subprocess the way the driver does (needs the virtual
+    device flag set before jax initializes)."""
+    code = (
+        "import __graft_entry__ as ge; ge.dryrun_multichip(8)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        },
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout
+    assert "tp=2" in out.stdout and "fsdp=2" in out.stdout
