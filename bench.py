@@ -26,13 +26,26 @@ def main():
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--model", type=str, default=None)
     parser.add_argument("--remat", action="store_true", help="per-block grad checkpointing")
-    parser.add_argument("--fused", action="store_true", help="fuse timed steps into one lax.scan dispatch")
+    parser.add_argument(
+        "--fused", action=argparse.BooleanOptionalAction, default=True,
+        help="fuse timed steps into one lax.scan dispatch (default; "
+        "--no-fused times a per-step python loop instead)",
+    )
     parser.add_argument("--no-scan", action="store_true", help="unroll transformer layers instead of lax.scan")
     parser.add_argument("--precision", type=str, default=None, help="override precision (bf16|pure_bf16|fp32)")
     parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
     args = parser.parse_args()
 
+    import os
+
     import jax
+
+    # Honor an explicit platform request: some TPU-plugin environments
+    # register themselves ahead of the JAX_PLATFORMS env var, so a caller's
+    # `JAX_PLATFORMS=cpu python bench.py` would silently run on the TPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
 
     from mrclip_tpu.factory import create_loss, create_model
