@@ -20,7 +20,6 @@ import logging
 import os
 import random
 import tarfile
-from dataclasses import dataclass
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

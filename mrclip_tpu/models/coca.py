@@ -20,7 +20,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from .clip import CLIPTextCfg, CLIPVisionCfg, _filter_cfg, build_text_tower, build_vision_tower

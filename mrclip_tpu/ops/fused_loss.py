@@ -13,7 +13,6 @@ pass O(B x chunk) too (chunks are recomputed, not stored).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -14,7 +14,7 @@ Everything is batched [B, H, W, C] uint8/float32, jit-safe, static shapes.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,11 +22,10 @@ Grid/BlockSpec + double-buffered pipelining comes for free from BlockSpecs).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

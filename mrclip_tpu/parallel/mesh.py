@@ -12,7 +12,6 @@ global batch).
 
 from __future__ import annotations
 
-import logging
 from typing import Optional, Sequence, Tuple
 
 import jax

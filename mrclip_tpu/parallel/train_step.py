@@ -19,9 +19,8 @@ train.py:70-269` + optimizer build `main.py:339-378`):
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ from __future__ import annotations
 import gzip
 import html
 import os
-import random
 import string
 from functools import lru_cache
 from typing import Callable, List, Optional, Union

@@ -14,18 +14,14 @@ step subsumes them.
 
 from __future__ import annotations
 
-import glob
-import json
 import logging
 import os
 import random
 import sys
-import time
 from datetime import datetime
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .. import checkpoint as ckpt

@@ -15,7 +15,6 @@ from __future__ import annotations
 import logging
 import time
 from collections import defaultdict
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ frequency gating). ImageNet classnames/templates ship as a JSON data asset
 from __future__ import annotations
 
 import json
-import logging
 import os
 from typing import Callable, Optional, Sequence
 

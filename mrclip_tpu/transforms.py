@@ -24,7 +24,7 @@ from __future__ import annotations
 import dataclasses
 import random
 from dataclasses import asdict, dataclass
-from typing import Any, Dict, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import numpy as np
 from PIL import Image, ImageFilter

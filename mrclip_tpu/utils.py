@@ -13,7 +13,7 @@ Capability parity with reference `src/open_clip/utils.py`:
 from __future__ import annotations
 
 from itertools import repeat
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import numpy as np
