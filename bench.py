@@ -34,6 +34,10 @@ def main():
     parser.add_argument("--no-scan", action="store_true", help="unroll transformer layers instead of lax.scan")
     parser.add_argument("--precision", type=str, default=None, help="override precision (bf16|pure_bf16|fp32)")
     parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
+    parser.add_argument(
+        "--infer", action="store_true",
+        help="measure forward-only encode_image throughput instead of the train step",
+    )
     args = parser.parse_args()
 
     import os
@@ -74,6 +78,36 @@ def main():
         grad_checkpointing=args.remat,
         scan_layers=False if args.no_scan else None,
     )
+
+    if args.infer:
+        # Serving throughput: forward-only encode_image. The scan carry
+        # perturbs each iteration's input so XLA can't hoist the encode out
+        # of the loop as loop-invariant (it will, and report ~17x, if every
+        # iteration is identical).
+        batch = args.batch_size or (256 if on_tpu else 16)
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.rand(batch, img_size, img_size, 3), jnp.float32)
+
+        @jax.jit
+        def encode_n(variables, imgs):
+            def body(c, _):
+                f = model.apply(variables, imgs + c, method=model.encode_image)
+                return (f[0, 0] * 1e-6).astype(jnp.float32), f[:1].sum()
+            return jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=steps)[1]
+
+        float(encode_n(variables, imgs)[-1])  # compile + warmup
+        t0 = time.perf_counter()
+        float(encode_n(variables, imgs)[-1])
+        dt = time.perf_counter() - t0
+        value = batch * steps / dt / (jax.device_count() if on_tpu else 1)
+        # ~1400 imgs/sec: single-A100 fp16 open_clip ViT-B/16 encode estimate.
+        print(json.dumps({
+            "metric": f"images/sec/chip ({model_name} encode_image, forward only)",
+            "value": round(value, 2),
+            "unit": "imgs/sec/chip",
+            "vs_baseline": round(value / 1400.0, 3),
+        }))
+        return
 
     class LossArgs:
         multipositiveloss = True
