@@ -33,6 +33,22 @@ def test_bench_quick_cli():
     assert rec["value"] > 0 and np.isfinite(rec["value"])
 
 
+def test_bench_quick_infer_cli():
+    """`python bench.py --quick --infer` prints one imgs/sec JSON line."""
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--quick", "--infer"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
+    assert rec["unit"] == "imgs/sec/chip"
+    assert rec["value"] > 0
+
+
 def test_graft_entry_forward():
     import __graft_entry__ as ge
 
