@@ -192,11 +192,9 @@ def main(args=None):
 
     # one-shot modes
     if args.linear:
-        linear_probe(model, state, data, args)
-        return
+        return linear_probe(model, state, data, args)
     if args.test:
-        test_metrics(model, state, data, args, tokenizer=tokenizer)
-        return
+        return test_metrics(model, state, data, args, tokenizer=tokenizer)
 
     if "train" not in data:
         evaluate(model, state, data, start_epoch, args, tokenizer=tokenizer)
