@@ -78,7 +78,7 @@ def _freeze_tower(mask: dict, params: dict, tower: str, unlocked_groups: int) ->
     for key, sub in mask[tower].items():
         g = group_of(key)
         if key == "transformer":
-            blocks = tower_p["transformer"]["blocks"]
+            blocks = tower_p["transformer"].get("blocks", {})
             if "block" in blocks:
                 unlocked_layers = max(0, unlocked_groups - 2)  # proj + last-block groups
                 # last block belongs to group n_groups-2
@@ -129,7 +129,7 @@ def build_trainable_mask(params: dict, args) -> Optional[dict]:
         )
         tower_p = params["text"]
         n_layers = _tower_layers(tower_p)
-        blocks = tower_p["transformer"]["blocks"]
+        blocks = tower_p["transformer"].get("blocks", {})
         if "block" in blocks:
             mask["text"]["transformer"]["blocks"]["block"] = jax.tree.map(
                 lambda leaf: _layer_mask(leaf, n_layers, min(k, n_layers)), blocks["block"]
