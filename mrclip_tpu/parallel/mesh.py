@@ -92,7 +92,10 @@ def param_sharding_rules(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     def last(off=1):
         return ndim - off
 
-    is_stacked = "blocks" in path  # scan layout: leading layer axis stays unsharded
+    # Scan layout (path ...['blocks']['block']...) carries a leading layer
+    # axis that must stay unsharded. Unrolled layouts use ['blocks_i'] keys,
+    # which must NOT match here — their dim 0 is a real feature dim.
+    is_stacked = "['blocks']" in path
 
     if ndim >= 2:
         if tp_size > 1:
