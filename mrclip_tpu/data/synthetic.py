@@ -44,6 +44,10 @@ class SyntheticDataset:
         if self.transform is not None:
             img = self.transform(img)
         item = {"images": img, "labels": np.int32(self.labels[idx])}
+        # Dummy per-label acquisition times so `--distance` is smoke-testable
+        # on synthetic data (the CSV path parses these from captions).
+        item["echo_time"] = np.float32(0.01 * (self.labels[idx] + 1))
+        item["repetition_time"] = np.float32(0.5 * (self.labels[idx] + 1))
         if self.tokenize is not None:
             item["tokens"] = self.tokenize([self.caption])[0]
         else:
