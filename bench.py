@@ -18,6 +18,47 @@ import numpy as np
 
 A100_OPENCLIP_VITB16_PAIRS_PER_SEC = 700.0
 
+# Peak dense bf16 TFLOP/s per chip, by device_kind substring.
+_PEAK_TFLOPS = [
+    ("v5 lite", 197.0),  # v5e ("lite" in device_kind)
+    ("v5e", 197.0),
+    ("v5p", 459.0),
+    ("v6", 918.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+]
+
+
+def _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div):
+    """Print XLA-cost-analysis-backed FLOPs + MFU to stderr (stdout keeps the
+    one-JSON-line driver contract)."""
+    import sys
+
+    import jax
+
+    try:
+        lowered = lowerable.lower(*lower_args)
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        total_flops = float(cost["flops"]) * flops_div
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        print(f"[mfu] cost_analysis unavailable: {e!r}", file=sys.stderr)
+        return
+    kind = jax.devices()[0].device_kind
+    peak = next((p for s, p in _PEAK_TFLOPS if s in kind.lower()), None)
+    achieved = total_flops / dt / 1e12
+    line = {
+        "device_kind": kind,
+        "flops_per_step": total_flops / steps,
+        "gflops_per_pair": total_flops / steps / batch / 1e9,
+        "achieved_tflops_per_sec": round(achieved, 2),
+        "peak_tflops_per_sec": peak,
+        "mfu": round(achieved / peak, 4) if peak else None,
+    }
+    print(f"[mfu] {json.dumps(line)}", file=sys.stderr)
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -34,6 +75,21 @@ def main():
     parser.add_argument("--no-scan", action="store_true", help="unroll transformer layers instead of lax.scan")
     parser.add_argument("--precision", type=str, default=None, help="override precision (bf16|pure_bf16|fp32)")
     parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
+    parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
+    parser.add_argument(
+        "--attn-impl", type=str, default="xla", choices=["xla", "flash"],
+        help="attention kernel: xla (GSPMD-shardable default) or flash "
+        "(Pallas fused kernel, no HBM score matrix; single TPU chip)",
+    )
+    parser.add_argument("--bf16-moments", action="store_true", help="store Adam mu in bf16")
+    parser.add_argument(
+        "--fp32-images", action="store_true",
+        help="feed pre-normalized fp32 images (legacy); default feeds uint8 "
+        "canvases and normalizes on-device, matching the --native-loader "
+        "production path (1 byte/px H2D instead of 4)",
+    )
+    parser.add_argument("--mfu", action="store_true", help="print XLA cost-analysis FLOPs + MFU to stderr")
+    parser.add_argument("--trace", type=str, default=None, help="capture a jax.profiler trace into this dir")
     parser.add_argument(
         "--infer", action="store_true",
         help="measure forward-only encode_image throughput instead of the train step",
@@ -72,10 +128,13 @@ def main():
         img_size, ctx = 224, 98
         steps = args.steps
 
+    attn_impl = args.attn_impl
     model, variables = create_model(
         model_name,
         precision=args.precision or ("bf16" if on_tpu else "fp32"),
         grad_checkpointing=args.remat,
+        remat_policy=args.remat_policy,
+        attn_impl=attn_impl,
         scan_layers=False if args.no_scan else None,
     )
 
@@ -120,17 +179,56 @@ def main():
         pallas_loss = args.loss_impl == "pallas"
         loss_chunk_size = 1024
 
-    tx = create_optimizer(lr=1e-4, wd=0.2)
+    tx = create_optimizer(
+        lr=1e-4, wd=0.2, moments_dtype="bfloat16" if args.bf16_moments else None
+    )
     state = create_train_state(variables, tx)
     step = build_train_step(model, make_loss_apply(create_loss(LossArgs())), tx, donate=True)
 
     rng = np.random.RandomState(0)
+    if args.fp32_images:
+        images = jnp.asarray(rng.rand(batch, img_size, img_size, 3), jnp.float32)
+        prep = lambda b: b
+    else:
+        # Production parity: the native loader ships uint8 canvases over
+        # H2D (1 byte/px); ToTensor+Normalize happens on-device as part of
+        # the compiled step (ops/image_ops.py:normalize_images).
+        from mrclip_tpu.ops.image_ops import normalize_images
+
+        images = jnp.asarray(
+            rng.randint(0, 256, (batch, img_size, img_size, 3)), jnp.uint8
+        )
+        prep = lambda b: dict(b, images=normalize_images(b["images"]))
     batch_data = {
-        "images": jnp.asarray(rng.rand(batch, img_size, img_size, 3), jnp.float32),
+        "images": images,
         "tokens": jnp.asarray(rng.randint(1, 49408, (batch, ctx)), jnp.int32),
         "labels": jnp.asarray(rng.randint(0, 32, (batch,)), jnp.int32),
     }
     key = jax.random.key(0)
+
+    import contextlib
+    import sys
+
+    @contextlib.contextmanager
+    def best_effort_trace(log_dir):
+        # Profiling through the tunnel may be unsupported; never let it kill
+        # the measurement.
+        started = False
+        try:
+            jax.profiler.start_trace(log_dir, create_perfetto_trace=True)
+            started = True
+        except Exception as e:  # noqa: BLE001
+            print(f"[trace] start failed: {e!r}", file=sys.stderr)
+        try:
+            yield
+        finally:
+            if started:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception as e:  # noqa: BLE001
+                    print(f"[trace] stop failed: {e!r}", file=sys.stderr)
+
+    trace_ctx = best_effort_trace(args.trace) if args.trace else contextlib.nullcontext()
 
     if args.fused:
         # Fuse the timed steps into one lax.scan dispatch: per-call dispatch
@@ -139,7 +237,7 @@ def main():
         @jax.jit
         def run_n(state, keys):
             def body(s, k):
-                s, m = step.raw(s, batch_data, k)
+                s, m = step.raw(s, prep(batch_data), k)
                 return s, m["loss"]
 
             return jax.lax.scan(body, state, keys)
@@ -147,20 +245,33 @@ def main():
         keys = jax.random.split(key, steps)
         state2, losses = run_n(state, keys)  # compile + warmup
         float(losses[-1])
-        t0 = time.perf_counter()
-        state2, losses = run_n(state, keys)
-        final_loss = float(losses[-1])
-        dt = time.perf_counter() - t0
+        with trace_ctx:
+            t0 = time.perf_counter()
+            state2, losses = run_n(state, keys)
+            final_loss = float(losses[-1])
+            dt = time.perf_counter() - t0
+        # Cost-analyze ONE step: XLA counts a lax.scan body once, not
+        # x trip-count, so lowering run_n would under-report by `steps`.
+        lowerable = jax.jit(lambda s, b, k: step.raw(s, prep(b), k))
+        lower_args = (state, batch_data, key)
+        flops_div = float(steps)
     else:
+        fstep = jax.jit(lambda s, b, k: step.raw(s, prep(b), k), donate_argnums=(0,))
         # warmup / compile (value fetch forces real execution)
-        state, metrics = step(state, batch_data, key)
+        state, metrics = fstep(state, batch_data, key)
         float(metrics["loss"])
-        t0 = time.perf_counter()
-        for i in range(steps):
-            state, metrics = step(state, batch_data, jax.random.fold_in(key, i))
-        final_loss = float(metrics["loss"])  # syncs the whole chain
-        dt = time.perf_counter() - t0
+        with trace_ctx:
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, metrics = fstep(state, batch_data, jax.random.fold_in(key, i))
+            final_loss = float(metrics["loss"])  # syncs the whole chain
+            dt = time.perf_counter() - t0
+        lowerable, lower_args = fstep, (state, batch_data, key)
+        flops_div = float(steps)  # cost analysis covers one step; scale to the window
     assert np.isfinite(final_loss)
+
+    if args.mfu:
+        _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div)
 
     pairs_per_sec = batch * steps / dt
     n_chips = jax.device_count() if on_tpu else 1

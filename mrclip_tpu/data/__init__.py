@@ -125,7 +125,8 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
             with_times=with_times,
             num_threads=getattr(args, "workers", 0),
             drop_last=is_train,
-            augment=is_train,  # train: full native warp; eval: plain decode
+            augment=is_train,  # train: full native warp; eval: shortest+crop
+            eval_resize_mode=getattr(args, "image_resize_mode", None) or "cover",
             seed=seed,
         )
         return DataInfo(loader, sampler)

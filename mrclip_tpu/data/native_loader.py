@@ -41,6 +41,7 @@ class NativeBatchLoader:
         prefetch_batches: int = 4,
         drop_last: bool = True,
         augment: bool = False,
+        eval_resize_mode: str = "cover",
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -53,6 +54,7 @@ class NativeBatchLoader:
         self.prefetch_batches = prefetch_batches
         self.drop_last = drop_last
         self.augment = augment
+        self.eval_resize_mode = eval_resize_mode
         self.seed = seed
         self._epoch = 0
         self._batch_counter = 0
@@ -90,7 +92,13 @@ class NativeBatchLoader:
                 paths, self.canvas_size, matrices, sigmas, num_threads=self.num_threads
             )
         else:
-            images, status = load_batch(paths, self.canvas_size, num_threads=self.num_threads)
+            # eval: aspect-preserving shortest-edge + center crop by default,
+            # matching transforms.EvalTransform (squash would distort
+            # non-square slices and diverge from the reference transform).
+            images, status = load_batch(
+                paths, self.canvas_size, num_threads=self.num_threads,
+                resize_mode=self.eval_resize_mode,
+            )
         batch = {
             "images": images,
             "labels": np.asarray([ds.labels[i] for i in idxs], np.int32),

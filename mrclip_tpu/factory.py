@@ -155,6 +155,8 @@ def create_model(
     logit_scale_trainable: bool = True,
     scan_layers: Optional[bool] = None,
     grad_checkpointing: bool = False,
+    remat_policy: str = "dots",
+    attn_impl: str = "xla",
     init_params: bool = True,
     rng_seed: int = 0,
     **model_kwargs,
@@ -215,6 +217,8 @@ def create_model(
             init_logit_bias=cfg.get("init_logit_bias"),
             scan_layers=scan_layers,
             remat=grad_checkpointing,
+            remat_policy=remat_policy,
+            attn_impl=attn_impl,
             dtype=dtype,
         )
     else:
@@ -228,6 +232,8 @@ def create_model(
             logit_scale_trainable=logit_scale_trainable,
             scan_layers=scan_layers,
             remat=grad_checkpointing,
+            remat_policy=remat_policy,
+            attn_impl=attn_impl,
             dtype=dtype,
         )
 
@@ -254,6 +260,35 @@ def create_model(
 
             variables["params"] = jax.tree_util.tree_map_with_path(
                 cast, variables["params"]
+            )
+
+    if variables is not None and cfg["text_cfg"].get("hf_model_name") and cfg[
+        "text_cfg"
+    ].get("hf_model_pretrained", True):
+        # HF text tower pretrained weights: overlay onto params/text/hf
+        # (reference hf_model.py:117 loads inside the tower constructor; here
+        # params are an explicit pytree so the overlay happens post-init).
+        from flax.core import unfreeze
+
+        from .models.hf_text import load_hf_pretrained_params
+
+        try:
+            hf_params = load_hf_pretrained_params(cfg["text_cfg"]["hf_model_name"])
+            variables["params"] = unfreeze(variables["params"])
+            tpl = variables["params"]["text"]["hf"]
+            tpl_shapes = jax.tree.map(jnp.shape, tpl)
+            new_shapes = jax.tree.map(jnp.shape, hf_params)
+            if tpl_shapes != new_shapes:
+                raise ValueError(
+                    f"pretrained HF params do not match the built tower: "
+                    f"{cfg['text_cfg']['hf_model_name']}"
+                )
+            variables["params"]["text"]["hf"] = hf_params
+        except Exception as e:  # hub unreachable (zero-egress) or no Flax port
+            logging.warning(
+                f"Could not load pretrained HF text weights "
+                f"({cfg['text_cfg']['hf_model_name']}): {e!r}; "
+                "the text tower keeps its random initialization."
             )
 
     if pretrained:

@@ -92,6 +92,9 @@ class CLIPTextCfg:
     hf_tokenizer_name: Optional[str] = None
     hf_proj_type: str = "mlp"
     hf_pooler_type: str = "mean_pooler"
+    # Inline HF config dict: builds the tower with zero hub access (the
+    # pretrained-weight overlay is separate; see factory.create_model).
+    hf_model_config: Optional[dict] = None
 
 
 def _filter_cfg(cfg_cls, d):
@@ -108,6 +111,8 @@ def build_vision_tower(
     dtype: Dtype = jnp.float32,
     scan_layers: bool = True,
     remat: bool = False,
+    remat_policy: str = "dots",
+    attn_impl: str = "xla",
     name: str = "visual",
 ) -> nn.Module:
     """Select + build the vision tower (reference model.py:105-171)."""
@@ -150,8 +155,10 @@ def build_vision_tower(
         final_ln_after_pool=vision_cfg.final_ln_after_pool,
         act=act,
         output_tokens=vision_cfg.output_tokens,
+        attn_impl=attn_impl,
         scan_layers=scan_layers,
         remat=remat,
+        remat_policy=remat_policy,
         dtype=dtype,
         name=name,
     )
@@ -164,6 +171,8 @@ def build_text_tower(
     dtype: Dtype = jnp.float32,
     scan_layers: bool = True,
     remat: bool = False,
+    remat_policy: str = "dots",
+    attn_impl: str = "xla",
     name: str = "text",
 ) -> nn.Module:
     """Select + build the text tower (reference model.py:174-219)."""
@@ -177,6 +186,8 @@ def build_text_tower(
             proj_type=text_cfg.hf_proj_type,
             pooler_type=text_cfg.hf_pooler_type,
             pretrained=text_cfg.hf_model_pretrained,
+            config=text_cfg.hf_model_config,
+            pad_id=text_cfg.pad_id,
             output_tokens=text_cfg.output_tokens,
             dtype=dtype,
             name=name,
@@ -199,8 +210,10 @@ def build_text_tower(
         dropout=text_cfg.dropout,
         act=act,
         output_tokens=text_cfg.output_tokens,
+        attn_impl=attn_impl,
         scan_layers=scan_layers,
         remat=remat,
+        remat_policy=remat_policy,
         dtype=dtype,
         name=name,
     )
@@ -225,16 +238,20 @@ class CLIP(nn.Module):
     nonscalar_logit_scale: bool = False
     scan_layers: bool = True
     remat: bool = False
+    remat_policy: str = "dots"
+    attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.visual = build_vision_tower(
             self.embed_dim, self.vision_cfg, self.quick_gelu, self.dtype,
-            self.scan_layers, self.remat, name="visual",
+            self.scan_layers, self.remat, self.remat_policy, self.attn_impl,
+            name="visual",
         )
         self.text = build_text_tower(
             self.embed_dim, self.text_cfg, self.quick_gelu, self.dtype,
-            self.scan_layers, self.remat, name="text",
+            self.scan_layers, self.remat, self.remat_policy, self.attn_impl,
+            name="text",
         )
         shape = (1,) if self.nonscalar_logit_scale else ()
         init = lambda key: jnp.full(shape, self.init_logit_scale, jnp.float32)
@@ -357,6 +374,8 @@ class CLIPTabular(nn.Module):
     init_logit_scale: float = math.log(1 / 0.07)
     scan_layers: bool = True
     remat: bool = False
+    remat_policy: str = "dots"
+    attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     uses_tabular: bool = True  # train-step dispatch flag
@@ -364,7 +383,8 @@ class CLIPTabular(nn.Module):
     def setup(self):
         self.visual = build_vision_tower(
             self.embed_dim, self.vision_cfg, self.quick_gelu, self.dtype,
-            self.scan_layers, self.remat, name="visual",
+            self.scan_layers, self.remat, self.remat_policy, self.attn_impl,
+            name="visual",
         )
         self.tabular = TabularEncoder(
             input_dim=self.tabular_input_dim,

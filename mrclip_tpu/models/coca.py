@@ -99,6 +99,8 @@ class CoCa(nn.Module):
     pad_id: int = 0
     scan_layers: bool = True
     remat: bool = False
+    remat_policy: str = "dots"
+    attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -117,10 +119,12 @@ class CoCa(nn.Module):
         )
 
         self.text = build_text_tower(
-            self.embed_dim, text_cfg, self.quick_gelu, self.dtype, self.scan_layers, self.remat, name="text"
+            self.embed_dim, text_cfg, self.quick_gelu, self.dtype, self.scan_layers,
+            self.remat, self.remat_policy, self.attn_impl, name="text"
         )
         self.visual = build_vision_tower(
-            self.embed_dim, vision_cfg, self.quick_gelu, self.dtype, self.scan_layers, self.remat, name="visual"
+            self.embed_dim, vision_cfg, self.quick_gelu, self.dtype, self.scan_layers,
+            self.remat, self.remat_policy, self.attn_impl, name="visual"
         )
         self.text_decoder = MultimodalTransformer(
             width=mm_cfg.width,

@@ -2,15 +2,25 @@
 
 Capability parity with reference `src/open_clip/hf_model.py:96-193`
 (`HFTextEncoder`): wraps a HF transformer as the text tower with a pooler
-(mean / cls / last) and linear or MLP projection head. Uses HF's Flax model
-classes; architectures without a Flax port raise an informative error
-(the torch-side `arch_dict` registry of hf_configs.py:2-67 maps onto HF's
-own Flax configs here).
+(mean / cls / max) and linear or MLP projection head, plus partial-layer
+locking (reference `lock`, hf_model.py:171-193 — here expressed as optax
+update masks, see `parallel/freeze.py`).
+
+TPU design: the HF *Flax module class* is mounted as a flax child module, so
+its weights live inside the params pytree (under `<tower>/hf/...`) — they
+receive gradients, are checkpointed by orbax, shard under GSPMD rules, and
+can be frozen per-layer. (Round 1 kept them as module attributes, which made
+the tower silently untrainable.)
+
+Offline builds: pass `config` (a dict mirroring the HF config JSON) to build
+the architecture with zero hub access; pretrained weights are overlaid by the
+factory via `load_hf_pretrained_params` when the hub is reachable.
 """
 
 from __future__ import annotations
 
-from typing import Any
+import inspect
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +29,51 @@ from flax import linen as nn
 from .layers import gelu_exact
 
 Dtype = Any
+
+__all__ = ["HFTextEncoder", "resolve_hf_config", "load_hf_pretrained_params"]
+
+
+def resolve_hf_config(model_name: str, config: Optional[dict] = None):
+    """HF config from an inline dict (offline) or the hub/cache."""
+    try:
+        from transformers import CONFIG_MAPPING, AutoConfig
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("transformers is required for HF text towers") from e
+    if config:
+        d = dict(config)
+        model_type = d.pop("model_type", "bert")
+        return CONFIG_MAPPING[model_type](**d)
+    return AutoConfig.from_pretrained(model_name)
+
+
+def _flax_module_class(hf_config):
+    """The underlying flax.linen module class for a HF config (reference
+    hf_model.py:117-125 uses AutoModel; torch-only archs have no Flax port)."""
+    from transformers import FlaxAutoModel
+
+    mapping = FlaxAutoModel._model_mapping
+    if type(hf_config) not in mapping:
+        raise RuntimeError(
+            f"No Flax port for HF architecture '{hf_config.model_type}'. "
+            "HF text towers on the TPU path require an architecture with a "
+            "Flax implementation (bert, roberta, distilbert, electra, t5, ...)."
+        )
+    return mapping[type(hf_config)].module_class
+
+
+def load_hf_pretrained_params(model_name: str) -> dict:
+    """Download/convert pretrained weights into a Flax params tree (no init).
+
+    Used by the factory to overlay `params/<tower>/hf` after `model.init`.
+    """
+    from transformers import FlaxAutoModel
+
+    res = FlaxAutoModel.from_pretrained(model_name, _do_init=False)
+    if isinstance(res, tuple):  # (_do_init=False) -> (model, params)
+        _, params = res
+    else:
+        params = res.params
+    return jax.tree.map(jnp.asarray, dict(params))
 
 
 def _pool(hidden: jax.Array, mask: jax.Array, pooler_type: str) -> jax.Array:
@@ -34,41 +89,24 @@ def _pool(hidden: jax.Array, mask: jax.Array, pooler_type: str) -> jax.Array:
 
 
 class HFTextEncoder(nn.Module):
-    """HF flax transformer + pooler + projection."""
+    """HF flax transformer (as a child module named `hf`) + pooler + proj."""
 
     model_name: str
     output_dim: int
     proj_type: str = "mlp"  # 'linear' | 'mlp' | None
     pooler_type: str = "mean_pooler"
-    pretrained: bool = True
+    pretrained: bool = True  # weight overlay happens in the factory
+    config: Optional[dict] = None  # inline HF config for offline builds
     output_tokens: bool = False
     pad_id: int = 0
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        try:
-            from transformers import FlaxAutoModel
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "transformers with Flax support is required for HF text towers"
-            ) from e
-        try:
-            if self.pretrained:
-                hf = FlaxAutoModel.from_pretrained(self.model_name)
-            else:
-                from transformers import AutoConfig, FlaxAutoModel
-
-                hf = FlaxAutoModel.from_config(AutoConfig.from_pretrained(self.model_name))
-        except Exception as e:
-            raise RuntimeError(
-                f"Could not load a Flax version of '{self.model_name}'. "
-                "HF text towers require an architecture with a Flax port "
-                "(e.g. bert, roberta, t5); torch-only architectures are not "
-                "supported on the TPU path."
-            ) from e
-        self._hf_module = hf.module
-        self._hf_params = hf.params
-        self._hf_width = hf.config.hidden_size
+        hf_config = resolve_hf_config(self.model_name, self.config)
+        module_cls = _flax_module_class(hf_config)
+        # Child module: params live at <tower>/hf/... in the pytree.
+        self.hf = module_cls(config=hf_config, dtype=self.dtype)
+        self._hf_width = hf_config.hidden_size
 
         d_model = self._hf_width
         if self.proj_type == "linear" and d_model != self.output_dim:
@@ -80,10 +118,22 @@ class HFTextEncoder(nn.Module):
 
     def __call__(self, tokens: jax.Array, *, deterministic: bool = True):
         mask = (tokens != self.pad_id).astype(jnp.int32)
-        out = self._hf_module.apply(
-            {"params": self._hf_params}, input_ids=tokens, attention_mask=mask
-        )
-        hidden = out.last_hidden_state
+        # HF flax module signatures vary by arch; fill the common optional
+        # inputs the wrapper classes normally default for us.
+        sig = inspect.signature(type(self.hf).__call__).parameters
+        kwargs = {}
+        if "token_type_ids" in sig:
+            kwargs["token_type_ids"] = jnp.zeros_like(tokens)
+        if "position_ids" in sig:
+            kwargs["position_ids"] = jnp.broadcast_to(
+                jnp.arange(tokens.shape[1]), tokens.shape
+            )
+        if "head_mask" in sig:
+            kwargs["head_mask"] = None
+        if "deterministic" in sig:
+            kwargs["deterministic"] = deterministic
+        out = self.hf(input_ids=tokens, attention_mask=mask, **kwargs)
+        hidden = out.last_hidden_state if hasattr(out, "last_hidden_state") else out[0]
         pooled = _pool(hidden, mask, self.pooler_type)
         if self.proj_type == "linear" and hasattr(self, "proj"):
             pooled = self.proj(pooled)

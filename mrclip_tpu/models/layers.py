@@ -157,6 +157,10 @@ class MultiHeadAttention(nn.Module):
     scale_heads: bool = False
     logit_scale_max: float = 4.6052  # ln(100)
     use_bias: bool = True
+    # 'xla' = jax.nn.dot_product_attention (GSPMD-shardable);
+    # 'flash' = Pallas fused kernel, no HBM score matrix (single-device TPU;
+    # see ops/flash_attn.py for why it is not the multi-chip default).
+    attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -212,6 +216,10 @@ class MultiHeadAttention(nn.Module):
                     attn = attn + mask
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        elif self.attn_impl == "flash" and mask is None:
+            from ..ops.flash_attn import flash_attention_unpadded
+
+            out = flash_attention_unpadded(q, k, v, is_causal=is_causal)
         else:
             bias = None
             bool_mask = None

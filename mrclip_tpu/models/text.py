@@ -39,8 +39,10 @@ class TextTransformer(nn.Module):
     dropout: float = 0.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     output_tokens: bool = False
+    attn_impl: str = "xla"
     scan_layers: bool = True
     remat: bool = False
+    remat_policy: str = "dots"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,8 +99,10 @@ class TextTransformer(nn.Module):
             act=self.act,
             is_causal=is_causal,
             dropout=self.dropout,
+            attn_impl=self.attn_impl,
             scan_layers=self.scan_layers,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             name="transformer",
         )(x, mask=mask, deterministic=deterministic)

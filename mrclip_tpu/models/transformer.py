@@ -20,6 +20,7 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .layers import MLP, LayerNorm, LayerScale, MultiHeadAttention, gelu_exact
 
@@ -45,6 +46,7 @@ class ResidualAttentionBlock(nn.Module):
     cross_attn: bool = False
     is_causal: bool = False
     dropout: float = 0.0  # --textdropout injection (reference main.py:47-59)
+    attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -73,17 +75,21 @@ class ResidualAttentionBlock(nn.Module):
             num_heads=self.num_heads,
             scaled_cosine=self.scaled_cosine,
             scale_heads=self.scale_heads,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="attn",
         )(y, mask=mask, is_causal=self.is_causal)
+        # remat tag: the `mlp_only` policy saves this and recomputes the MLP
+        y = checkpoint_name(y, "attn_out")
         x = x + maybe_ls("ls_1")(drop(y))
 
         if self.cross_attn:
             assert kv is not None, "cross_attn block requires kv"
             y = LayerNorm(name="ln_1_kv")(x)
-            y = MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype, name="cross_attn")(
-                y, kv=kv
-            )
+            y = MultiHeadAttention(
+                num_heads=self.num_heads, attn_impl=self.attn_impl,
+                dtype=self.dtype, name="cross_attn",
+            )(y, kv=kv)
             x = x + maybe_ls("ls_cross")(y)
 
         y = LayerNorm(name="ln_2")(x)
@@ -99,6 +105,11 @@ REMAT_POLICIES = {
     # standard transformer policy: near no-remat speed at a fraction of the
     # activation memory.
     "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    # save only the attention sublayer output (tagged `attn_out` below);
+    # the backward pass recomputes just the MLP hidden activations — the
+    # 4x-width buffers that dominate activation memory — at ~1/3 of a
+    # block's forward FLOPs. Cheapest memory/FLOPs trade for batch scaling.
+    "mlp_only": jax.checkpoint_policies.save_only_these_names("attn_out"),
 }
 
 
@@ -141,6 +152,7 @@ class Transformer(nn.Module):
     cross_attn: bool = False
     is_causal: bool = False
     dropout: float = 0.0
+    attn_impl: str = "xla"
     scan_layers: bool = True
     remat: bool = False
     remat_policy: str = "dots"
@@ -165,6 +177,7 @@ class Transformer(nn.Module):
             cross_attn=self.cross_attn,
             is_causal=self.is_causal,
             dropout=self.dropout,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
         )
 

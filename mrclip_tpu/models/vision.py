@@ -72,8 +72,10 @@ class VisionTransformer(nn.Module):
     final_ln_after_pool: bool = False
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     output_tokens: bool = False
+    attn_impl: str = "xla"
     scan_layers: bool = True
     remat: bool = False
+    remat_policy: str = "dots"
     dtype: Dtype = jnp.float32
 
     @property
@@ -140,8 +142,10 @@ class VisionTransformer(nn.Module):
             mlp_ratio=self.mlp_ratio,
             ls_init_value=self.ls_init_value,
             act=self.act,
+            attn_impl=self.attn_impl,
             scan_layers=self.scan_layers,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             name="transformer",
         )(x)

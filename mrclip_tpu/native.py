@@ -32,6 +32,7 @@ def _get_lib():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int,  # resize mode
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
         ]
@@ -73,13 +74,22 @@ def decode_png(data: bytes, channels: int = 3) -> Optional[np.ndarray]:
     return out[: h.value * w.value * channels].reshape(h.value, w.value, channels).copy()
 
 
+# transforms.EvalTransform resize_mode -> native enum
+_RESIZE_MODES = {"squash": 0, "cover": 1, "shortest": 1, "contain": 2, "longest": 2}
+
+
 def load_batch(
     paths: List[str],
     out_size: Tuple[int, int],
     channels: int = 3,
     num_threads: int = 0,
+    resize_mode: str = "squash",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+resize a list of PNGs into [N, H, W, C] uint8.
+
+    `resize_mode`: 'squash' stretches to the canvas; 'shortest'/'cover' does
+    shortest-edge resize + center crop (EvalTransform semantics, reference
+    transform.py:366-397); 'longest'/'contain' fits + zero-pads.
 
     Returns (batch, status) — status[i] == 0 on success; failed rows are
     zeroed (matching the data pipeline's swallow-and-continue posture,
@@ -88,6 +98,7 @@ def load_batch(
     lib = _get_lib()
     n = len(paths)
     oh, ow = out_size
+    mode = _RESIZE_MODES[resize_mode]
     out = np.zeros((n, oh, ow, channels), np.uint8)
     status = np.zeros((n,), np.int32)
     if lib is None:
@@ -96,12 +107,29 @@ def load_batch(
         for i, p in enumerate(paths):
             try:
                 img = Image.open(p)
-                if channels == 3:
-                    img = img.convert("RGB")
+                img = img.convert("RGB" if channels == 3 else "L")
+                w, h = img.size
+                if mode == 1:  # cover: shortest-edge + center crop
+                    scale = max(oh / h, ow / w)
+                    img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+                    left = (img.size[0] - ow) // 2
+                    top = (img.size[1] - oh) // 2
+                    img = img.crop((left, top, left + ow, top + oh))
+                    arr = np.asarray(img)
+                elif mode == 2:  # contain: longest-edge + pad
+                    scale = min(oh / h, ow / w)
+                    dh, dw = round(h * scale), round(w * scale)
+                    img = img.resize((dw, dh), Image.BILINEAR)
+                    arr = np.asarray(img)
+                    if arr.ndim == 2:
+                        arr = arr[..., None]
+                    canvas = np.zeros((oh, ow, channels), np.uint8)
+                    t, l = (oh - dh) // 2, (ow - dw) // 2
+                    canvas[t : t + dh, l : l + dw] = arr
+                    arr = canvas
                 else:
-                    img = img.convert("L")
-                img = img.resize((ow, oh), Image.BILINEAR)
-                arr = np.asarray(img)
+                    img = img.resize((ow, oh), Image.BILINEAR)
+                    arr = np.asarray(img)
                 out[i] = arr if arr.ndim == 3 else arr[..., None]
             except Exception:
                 status[i] = -1
@@ -115,6 +143,7 @@ def load_batch(
         oh,
         ow,
         channels,
+        mode,
         num_threads,
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )

@@ -15,4 +15,5 @@ from .train_step import (
     create_optimizer,
     create_train_state,
     make_loss_apply,
+    register_loss_adapter,
 )

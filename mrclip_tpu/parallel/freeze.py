@@ -107,6 +107,53 @@ def _freeze_tower(mask: dict, params: dict, tower: str, unlocked_groups: int) ->
     mask[tower] = new_mask
 
 
+def _find_layer_stack(tree: dict, prefix: tuple = ()) -> Optional[tuple]:
+    """Path to the dict of numbered encoder layers ('0', '1', ...) inside a
+    HF params tree (bert: encoder/layer; distilbert: transformer/layer; ...)."""
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            if v and all(isinstance(key, str) and key.isdigit() for key in v):
+                return prefix + (k,)
+            found = _find_layer_stack(v, prefix + (k,))
+            if found is not None:
+                return found
+    return None
+
+
+def _freeze_hf_tower(
+    mask: dict, params: dict, tower: str, unlocked_layers: int, freeze_layer_norm: bool = True
+) -> None:
+    """HF text tower locking (reference hf_model.py:171-193): freeze the HF
+    transformer (embeddings + pooler + all but the last `unlocked_layers`
+    encoder layers); LayerNorm params follow `freeze_layer_norm`. The proj
+    head (outside `hf/`) stays trainable, as in the reference."""
+    hf_p = params[tower]["hf"]
+
+    def freeze_subtree(sub, path=()):
+        out = {}
+        for k, v in sub.items():
+            if isinstance(v, dict):
+                out[k] = freeze_subtree(v, path + (k,))
+            else:
+                is_ln = any("layernorm" in p.lower() or "layer_norm" in p.lower()
+                            for p in path + (k,))
+                out[k] = np.float32(1.0 if (is_ln and not freeze_layer_norm) else 0.0)
+        return out
+
+    frozen = freeze_subtree(hf_p)
+    if unlocked_layers > 0:
+        stack_path = _find_layer_stack(hf_p)
+        if stack_path is not None:
+            node_p, node_m = hf_p, frozen
+            for k in stack_path:
+                node_p, node_m = node_p[k], node_m[k]
+            layer_ids = sorted(node_p, key=int)
+            for lid in layer_ids[-unlocked_layers:]:
+                node_m[lid] = jax.tree.map(lambda _: np.float32(1.0), node_p[lid])
+    mask[tower] = dict(mask[tower])
+    mask[tower]["hf"] = frozen
+
+
 def build_trainable_mask(params: dict, args) -> Optional[dict]:
     """Mask pytree from the CLI lock/freeze flags; None if nothing frozen."""
     lock_image = getattr(args, "lock_image", False)
@@ -119,8 +166,23 @@ def build_trainable_mask(params: dict, args) -> Optional[dict]:
     if lock_image and "visual" in params:
         _freeze_tower(mask, params, "visual", getattr(args, "lock_image_unlocked_groups", 0))
     if lock_text and "text" in params:
-        _freeze_tower(mask, params, "text", getattr(args, "lock_text_unlocked_layers", 0))
-    if freeze and "text" in params:
+        if "hf" in params["text"]:
+            _freeze_hf_tower(
+                mask, params, "text",
+                getattr(args, "lock_text_unlocked_layers", 0),
+                getattr(args, "lock_text_freeze_layer_norm", True),
+            )
+        else:
+            _freeze_tower(mask, params, "text", getattr(args, "lock_text_unlocked_layers", 0))
+    if freeze and "text" in params and "hf" in params["text"]:
+        # --freeze on a HF tower: same semantics via the HF mask, unlocking
+        # the last K encoder layers.
+        keep_last = getattr(args, "freezelast", False)
+        k = int(keep_last) if isinstance(keep_last, int) and not isinstance(keep_last, bool) else (
+            2 if keep_last else 0
+        )
+        _freeze_hf_tower(mask, params, "text", k, True)
+    elif freeze and "text" in params:
         # --freeze/--freezelast: text transformer frozen except last K blocks
         # (reference train.py:85-91).
         keep_last = getattr(args, "freezelast", False)

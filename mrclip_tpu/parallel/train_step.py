@@ -84,16 +84,23 @@ def create_optimizer(
     grad_clip_norm: Optional[float] = None,
     opt: str = "adamw",
     momentum: Optional[float] = None,
+    moments_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """Optimizer build matching reference defaults (params.py:5-11) with the
     weight-decay mask; optional global-norm clipping (train.py:188-198).
 
     `--opt`: adamw (reference default) | sgd | lion | adafactor (the
     reference's non-adamw path delegates to timm; optax covers the same
-    space natively)."""
+    space natively).
+
+    `moments_dtype='bfloat16'` stores the Adam/Lion first moment in bf16
+    (half the optimizer-state HBM for mu; buys batch headroom on small chips).
+    """
+    mu_dtype = jnp.dtype(moments_dtype) if moments_dtype else None
     if opt == "adamw":
         tx = optax.adamw(
-            learning_rate=lr, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_wd_mask
+            learning_rate=lr, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_wd_mask,
+            mu_dtype=mu_dtype,
         )
     elif opt == "sgd":
         tx = optax.chain(
@@ -101,7 +108,10 @@ def create_optimizer(
             optax.sgd(learning_rate=lr, momentum=momentum or 0.9, nesterov=True),
         )
     elif opt == "lion":
-        tx = optax.lion(learning_rate=lr, b1=beta1, b2=beta2, weight_decay=wd, mask=_wd_mask)
+        tx = optax.lion(
+            learning_rate=lr, b1=beta1, b2=beta2, weight_decay=wd, mask=_wd_mask,
+            mu_dtype=mu_dtype,
+        )
     elif opt == "adafactor":
         tx = optax.adafactor(learning_rate=lr, weight_decay_rate=wd)
     else:
@@ -178,64 +188,96 @@ def _forward(model, variables, batch, rng, train: bool):
     return out, {}
 
 
-def make_loss_apply(loss_fn: Callable[..., dict], mesh: Optional[Mesh] = None) -> Callable:
-    """Adapt a factory loss to `(model_out, batch) -> dict`.
+# Explicit per-loss argument specs: loss function -> ordered positional args,
+# each resolved from the batch or the model output by `_resolve_loss_arg`.
+# Keyed by "<module>.<qualname>" so no loss module is imported eagerly.
+# New losses must register here (or via `register_loss_adapter`) — unknown
+# losses fail loudly instead of being marshaled by signature heuristics.
+_MP_SPEC = ("image_features", "text_features", "labels", "logit_scale")
+_LOSS_ARG_SPECS: dict = {
+    "mrclip_tpu.losses.contrastive.clip_loss": (
+        "image_features", "text_features", "logit_scale"),
+    "mrclip_tpu.losses.contrastive.multipositive_clip_loss": _MP_SPEC,
+    "mrclip_tpu.ops.fused_loss.chunked_multipositive_clip_loss": _MP_SPEC,
+    "mrclip_tpu.ops.pallas_loss.pallas_multipositive_clip_loss": _MP_SPEC,
+    "mrclip_tpu.losses.contrastive.multipositive_clip_loss_with_vision": _MP_SPEC,
+    "mrclip_tpu.losses.contrastive.multipositive_clip_loss_with_distance": (
+        "image_features", "text_features", "labels",
+        "echo_time", "repetition_time", "logit_scale"),
+    "mrclip_tpu.losses.contrastive.multipositive_clip_loss_vision_only": (
+        "image_features", "labels", "logit_scale"),
+    "mrclip_tpu.losses.contrastive.siglip_loss": (
+        "image_features", "text_features", "logit_scale", "logit_bias"),
+    "mrclip_tpu.losses.contrastive.coca_loss": (
+        "image_features", "text_features", "caption_logits", "caption_labels",
+        "logit_scale"),
+    "mrclip_tpu.losses.contrastive.distill_clip_loss": (
+        "image_features", "text_features", "logit_scale",
+        "dist_image_features", "dist_text_features", "dist_logit_scale"),
+}
 
-    Inspects the loss signature for optional inputs (labels, TE/TR) and, in
-    mesh mode, installs the row-sharded logits constraint.
-    """
+# Fields sourced from the data batch; everything else comes from model_out.
+_BATCH_FIELDS = frozenset({"labels", "echo_time", "repetition_time"})
+# model_out key aliases (CoCa emits decoder logits/labels under these names).
+_MODEL_OUT_ALIASES = {"caption_logits": "logits", "caption_labels": "labels"}
+
+
+def _loss_key(fn: Callable) -> str:
+    return f"{fn.__module__}.{fn.__qualname__}"
+
+
+def register_loss_adapter(fn: Callable, arg_spec: tuple) -> None:
+    """Register the positional-argument spec for a custom loss so it can be
+    driven by `make_loss_apply`. Each entry is a batch field (labels,
+    echo_time, repetition_time) or a model-output field."""
+    _LOSS_ARG_SPECS[_loss_key(fn)] = tuple(arg_spec)
+
+
+def _resolve_loss_arg(name: str, model_out: dict, batch: dict):
+    if name in _BATCH_FIELDS:
+        if name not in batch:
+            raise ValueError(
+                f"loss requires batch['{name}'] but the data pipeline did not "
+                f"provide it (batch keys: {sorted(batch)})"
+            )
+        return batch[name]
+    if name == "logit_bias":
+        return model_out.get("logit_bias", jnp.float32(0.0))
+    key = _MODEL_OUT_ALIASES.get(name, name)
+    if key not in model_out:
+        raise ValueError(
+            f"loss requires model output '{key}' but the model produced "
+            f"{sorted(model_out)}"
+        )
+    return model_out[key]
+
+
+def make_loss_apply(loss_fn: Callable[..., dict], mesh: Optional[Mesh] = None) -> Callable:
+    """Adapt a factory loss to `(model_out, batch) -> dict` via the explicit
+    adapter registry; in mesh mode, installs the row-sharded logits constraint
+    when the loss supports it."""
     import inspect
 
-    sig_params = None
     fn = loss_fn
     while isinstance(fn, partial):
         fn = fn.func
-    sig_params = set(inspect.signature(fn).parameters)
+    spec = _LOSS_ARG_SPECS.get(_loss_key(fn))
+    if spec is None:
+        raise ValueError(
+            f"No loss adapter registered for {_loss_key(fn)}. Register its "
+            "positional-argument spec with "
+            "mrclip_tpu.parallel.register_loss_adapter(fn, arg_spec); "
+            f"known losses: {sorted(_LOSS_ARG_SPECS)}"
+        )
 
     constrain = None
-    if mesh is not None and "constrain" in sig_params:
-        spec = NamedSharding(mesh, P(batch_spec()[0], None))
-        constrain = lambda x: jax.lax.with_sharding_constraint(x, spec)
+    if mesh is not None and "constrain" in inspect.signature(fn).parameters:
+        sharding = NamedSharding(mesh, P(batch_spec()[0], None))
+        constrain = lambda x: jax.lax.with_sharding_constraint(x, sharding)
 
     def loss_apply(model_out: dict, batch: dict) -> dict:
-        kwargs = {}
-        if "labels" in sig_params and "labels" in batch:
-            kwargs["labels"] = batch["labels"]
-        if "echo_time" in sig_params:
-            kwargs["echo_time"] = batch["echo_time"]
-            kwargs["repetition_time"] = batch["repetition_time"]
-        if "logit_bias" in sig_params:
-            kwargs["logit_bias"] = model_out.get("logit_bias", jnp.float32(0.0))
-        if constrain is not None:
-            kwargs["constrain"] = constrain
-
-        args = [model_out["image_features"]]
-        if "text_features" in sig_params:
-            args.append(model_out["text_features"])
-        if "dist_image_features" in sig_params:
-            kwargs_post = [
-                model_out["dist_image_features"],
-                model_out["dist_text_features"],
-                model_out["dist_logit_scale"],
-            ]
-        else:
-            kwargs_post = []
-        if "labels" in sig_params and "labels" not in kwargs:
-            raise ValueError("loss requires per-sample labels but batch has none")
-        # positional labels for the multipositive family
-        if "labels" in kwargs and "labels" in sig_params:
-            params_order = list(inspect.signature(fn).parameters)
-            if params_order.index("labels") < params_order.index("logit_scale"):
-                args.append(kwargs.pop("labels"))
-        if "echo_time" in kwargs:
-            args.extend([kwargs.pop("echo_time"), kwargs.pop("repetition_time")])
-        if "caption_logits" in sig_params:
-            # CoCa: teacher-forced decoder logits + shifted labels
-            args.extend([model_out["logits"], model_out["labels"]])
-        args.append(model_out["logit_scale"])
-        args.extend(kwargs_post)
-        if "logit_bias" in kwargs:
-            args.append(kwargs.pop("logit_bias"))
+        args = [_resolve_loss_arg(name, model_out, batch) for name in spec]
+        kwargs = {"constrain": constrain} if constrain is not None else {}
         return loss_fn(*args, **kwargs)
 
     return loss_apply

@@ -32,30 +32,71 @@ bool read_file(const char* path, std::vector<uint8_t>* buf) {
   return got == (size_t)size;
 }
 
-// Bilinear resize uint8 HWC -> out_h x out_w (shortest-edge + center-crop
-// semantics are applied by the caller via src window offsets).
-void resize_bilinear(const uint8_t* src, int sh, int sw, int c, uint8_t* dst,
-                     int dh, int dw) {
-  const float ys = (float)sh / dh;
-  const float xs = (float)sw / dw;
+// Bilinear resize of a float source window [src_y0, src_y0+win_h) x
+// [src_x0, src_x0+win_w) of `src` into a dst sub-rectangle of a row-major
+// [H, out_row_w] canvas. The window form expresses all three eval resize
+// modes (squash / shortest-edge+crop / longest+pad) as one sampling loop.
+void resize_window_bilinear(const uint8_t* src, int sh, int sw, int c,
+                            float src_y0, float src_x0, float win_h,
+                            float win_w, uint8_t* dst, int out_row_w,
+                            int dst_y0, int dst_x0, int dh, int dw) {
+  const float ys = win_h / dh;
+  const float xs = win_w / dw;
   for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * ys - 0.5f;
-    int y0 = fy < 0 ? 0 : (int)fy;
+    float fy = src_y0 + (y + 0.5f) * ys - 0.5f;
+    if (fy < 0) fy = 0;
+    if (fy > sh - 1) fy = (float)(sh - 1);
+    int y0 = (int)fy;
     int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
     float wy = fy - y0;
-    if (wy < 0) wy = 0;
+    uint8_t* row = dst + ((size_t)(dst_y0 + y) * out_row_w + dst_x0) * c;
     for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * xs - 0.5f;
-      int x0 = fx < 0 ? 0 : (int)fx;
+      float fx = src_x0 + (x + 0.5f) * xs - 0.5f;
+      if (fx < 0) fx = 0;
+      if (fx > sw - 1) fx = (float)(sw - 1);
+      int x0 = (int)fx;
       int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
       float wx = fx - x0;
-      if (wx < 0) wx = 0;
       for (int ch = 0; ch < c; ++ch) {
         float top = src[(y0 * sw + x0) * c + ch] * (1 - wx) + src[(y0 * sw + x1) * c + ch] * wx;
         float bot = src[(y1 * sw + x0) * c + ch] * (1 - wx) + src[(y1 * sw + x1) * c + ch] * wx;
-        dst[(y * dw + x) * c + ch] = (uint8_t)(top * (1 - wy) + bot * wy + 0.5f);
+        row[(size_t)x * c + ch] = (uint8_t)(top * (1 - wy) + bot * wy + 0.5f);
       }
     }
+  }
+}
+
+// Resize modes for mrclip_load_batch (mirror transforms.EvalTransform /
+// reference transform.py:366-397).
+enum ResizeMode {
+  kSquash = 0,   // full-image stretch to the canvas
+  kCover = 1,    // shortest-edge resize + center crop (eval default)
+  kContain = 2,  // longest-edge resize + centered zero padding
+};
+
+void resize_into_canvas(const uint8_t* src, int h, int w, int c, uint8_t* dst,
+                        int out_h, int out_w, int mode) {
+  if (mode == kCover) {
+    float scale = (float)out_h / h;
+    float sw_scale = (float)out_w / w;
+    if (sw_scale > scale) scale = sw_scale;  // cover: max scale
+    float win_h = out_h / scale, win_w = out_w / scale;
+    float y0 = 0.5f * (h - win_h), x0 = 0.5f * (w - win_w);
+    resize_window_bilinear(src, h, w, c, y0, x0, win_h, win_w, dst, out_w, 0,
+                           0, out_h, out_w);
+  } else if (mode == kContain) {
+    float scale = (float)out_h / h;
+    float sw_scale = (float)out_w / w;
+    if (sw_scale < scale) scale = sw_scale;  // contain: min scale
+    int dh = (int)(h * scale + 0.5f);
+    int dw = (int)(w * scale + 0.5f);
+    if (dh > out_h) dh = out_h;
+    if (dw > out_w) dw = out_w;
+    resize_window_bilinear(src, h, w, c, 0.f, 0.f, (float)h, (float)w, dst,
+                           out_w, (out_h - dh) / 2, (out_w - dw) / 2, dh, dw);
+  } else {  // kSquash
+    resize_window_bilinear(src, h, w, c, 0.f, 0.f, (float)h, (float)w, dst,
+                           out_w, 0, 0, out_h, out_w);
   }
 }
 
@@ -64,11 +105,13 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, int c, uint8_t* dst,
 extern "C" {
 
 // Decode `n` PNG files into out[N, out_h, out_w, channels] uint8, resizing
-// each image (full-image squash; the center-crop eval path and the fused
-// train augmentation both start from a fixed-size canvas). `status[i]` gets
-// 0 on success, the decoder's error code otherwise (row left zeroed).
+// each image by `mode`: 0 = full-image squash, 1 = shortest-edge resize +
+// center crop (the EvalTransform default; reference transform.py:366-397),
+// 2 = longest-edge resize + centered zero padding. `status[i]` gets 0 on
+// success, the decoder's error code otherwise (row left zeroed).
 void mrclip_load_batch(const char** paths, int n, uint8_t* out, int out_h,
-                       int out_w, int channels, int num_threads, int* status) {
+                       int out_w, int channels, int mode, int num_threads,
+                       int* status) {
   std::atomic<int> next{0};
   const size_t out_stride = (size_t)out_h * out_w * channels;
 
@@ -94,7 +137,7 @@ void mrclip_load_batch(const char** paths, int n, uint8_t* out, int out_h,
                                  pixels.data(), channels, &w, &h);
       status[i] = rc;
       if (rc != 0) continue;
-      resize_bilinear(pixels.data(), h, w, channels, dst, out_h, out_w);
+      resize_into_canvas(pixels.data(), h, w, channels, dst, out_h, out_w, mode);
     }
   };
 

@@ -11,8 +11,8 @@ from mrclip_tpu.factory import create_model, get_model_config, get_tokenizer, li
 @pytest.mark.parametrize("name", list_models())
 def test_config_builds_abstractly(name):
     cfg = get_model_config(name)
-    if cfg["text_cfg"].get("hf_model_name"):
-        pytest.skip("HF text tower requires hub access (zero-egress env)")
+    if cfg["text_cfg"].get("hf_model_name") and not cfg["text_cfg"].get("hf_model_config"):
+        pytest.skip("HF text tower without inline config requires hub access")
     model, _ = create_model(name, init_params=False)
 
     image_size = cfg["vision_cfg"]["image_size"]

@@ -1,0 +1,181 @@
+"""HF text tower: trainable params, pretrained-shape overlay, locking.
+
+Reference `src/open_clip/hf_model.py:96-193` (HFTextEncoder + lock). The
+tower's HF weights must live in the Flax params tree (trainable,
+checkpointable); `lock` semantics freeze embeddings + all but the last N
+encoder layers, LayerNorm following `freeze_layer_norm`. Offline: towers
+build from an inline `hf_model_config` with zero hub access.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrclip_tpu.factory import create_model, get_model_config
+from mrclip_tpu.models.clip import CLIP
+from mrclip_tpu.parallel import (
+    build_train_step,
+    create_optimizer,
+    create_train_state,
+    make_loss_apply,
+)
+from mrclip_tpu.parallel.freeze import build_trainable_mask, chain_with_mask
+from mrclip_tpu.losses import clip_loss
+
+TINY_BERT = {
+    "model_type": "bert",
+    "vocab_size": 128,
+    "hidden_size": 32,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 2,
+    "intermediate_size": 64,
+    "max_position_embeddings": 64,
+    "type_vocab_size": 2,
+    "pad_token_id": 0,
+}
+
+VISION_MINI = {"image_size": 32, "layers": 2, "width": 32, "head_width": 16, "patch_size": 16}
+TEXT_HF = {
+    "context_length": 16,
+    "hf_model_name": "local/test-tiny-bert",
+    "hf_model_config": TINY_BERT,
+    "hf_proj_type": "mlp",
+    "hf_pooler_type": "mean_pooler",
+    "hf_model_pretrained": False,
+}
+
+
+def _build(pooler="mean_pooler", proj="mlp"):
+    text_cfg = dict(TEXT_HF, hf_pooler_type=pooler, hf_proj_type=proj)
+    model = CLIP(embed_dim=16, vision_cfg=VISION_MINI, text_cfg=text_cfg, scan_layers=False)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    toks = jnp.asarray(np.random.RandomState(0).randint(1, 128, (2, 16)), jnp.int32)
+    variables = model.init(jax.random.key(0), imgs, toks)
+    return model, dict(variables), imgs, toks
+
+
+def test_hf_params_in_tree_and_forward():
+    model, variables, imgs, toks = _build()
+    params = variables["params"]
+    assert "hf" in params["text"], "HF weights must be real Flax params"
+    # the BERT encoder layer stack is present and trainable-shaped
+    assert "encoder" in params["text"]["hf"]
+    out = model.apply(variables, imgs, toks)
+    assert out["text_features"].shape == (2, 16)
+    assert np.isfinite(np.asarray(out["text_features"])).all()
+
+
+@pytest.mark.parametrize("pooler", ["mean_pooler", "cls_pooler", "max_pooler"])
+def test_hf_poolers(pooler):
+    model, variables, imgs, toks = _build(pooler=pooler)
+    out = model.apply(variables, imgs, toks)
+    assert np.isfinite(np.asarray(out["text_features"])).all()
+
+
+def test_hf_tower_trains_end_to_end():
+    """Fine-tuning moves HF weights and decreases the loss (the round-1
+    adapter silently gave them zero gradients)."""
+    model, variables, imgs, toks = _build()
+    rng = np.random.RandomState(1)
+    batch = {
+        "images": jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32),
+        "tokens": jnp.asarray(rng.randint(1, 128, (8, 16)), jnp.int32),
+    }
+    tx = create_optimizer(lr=3e-3, wd=0.0)
+    state = create_train_state(variables, tx)
+    from functools import partial
+
+    step = build_train_step(model, make_loss_apply(partial(clip_loss)), tx, donate=False)
+    p0 = jax.tree.map(np.asarray, state.params["text"]["hf"])
+    losses = []
+    key = jax.random.key(0)
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    moved = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()), p0,
+                     state.params["text"]["hf"])
+    )
+    assert max(moved) > 0, "HF tower received no updates"
+
+
+def test_hf_lock_freezes_all_but_last_layer():
+    model, variables, imgs, toks = _build()
+
+    class Args:
+        lock_image = False
+        lock_text = True
+        lock_text_unlocked_layers = 1
+        lock_text_freeze_layer_norm = True
+        freeze = False
+
+    mask = build_trainable_mask(variables["params"], Args())
+    hf_mask = mask["text"]["hf"]
+    # layer 0 fully frozen, layer 1 fully trainable, embeddings frozen
+    assert all(v == 0.0 for v in jax.tree.leaves(hf_mask["encoder"]["layer"]["0"]))
+    assert all(v == 1.0 for v in jax.tree.leaves(hf_mask["encoder"]["layer"]["1"]))
+    assert all(v == 0.0 for v in jax.tree.leaves(hf_mask["embeddings"]))
+    # proj head outside hf stays trainable (reference locks only transformer)
+    assert all(v == 1.0 for v in jax.tree.leaves(mask["text"]["proj_fc1"]))
+
+    # end-to-end: frozen leaves unchanged after a step, unlocked leaves move
+    rng = np.random.RandomState(2)
+    batch = {
+        "images": jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32),
+        "tokens": jnp.asarray(rng.randint(1, 128, (4, 16)), jnp.int32),
+    }
+    tx = chain_with_mask(create_optimizer(lr=1e-2, wd=0.1), mask)
+    state = create_train_state(variables, tx)
+    from functools import partial
+
+    step = build_train_step(model, make_loss_apply(partial(clip_loss)), tx, donate=False)
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, batch, jax.random.key(0))
+    frozen_diff = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+        p0["text"]["hf"]["encoder"]["layer"]["0"],
+        state.params["text"]["hf"]["encoder"]["layer"]["0"],
+    ))
+    live_diff = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+        p0["text"]["hf"]["encoder"]["layer"]["1"],
+        state.params["text"]["hf"]["encoder"]["layer"]["1"],
+    ))
+    assert max(frozen_diff) == 0.0, "locked layer moved"
+    assert max(live_diff) > 0.0, "unlocked layer did not move"
+
+
+def test_hf_lock_layer_norm_unfrozen_option():
+    model, variables, imgs, toks = _build()
+
+    class Args:
+        lock_image = False
+        lock_text = True
+        lock_text_unlocked_layers = 0
+        lock_text_freeze_layer_norm = False
+        freeze = False
+
+    mask = build_trainable_mask(variables["params"], Args())
+    hf_mask = mask["text"]["hf"]
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(hf_mask)[0]
+    ln_vals = [v for p, v in leaves_with_path if "layernorm" in jax.tree_util.keystr(p).lower()]
+    other_vals = [v for p, v in leaves_with_path if "layernorm" not in jax.tree_util.keystr(p).lower()]
+    assert ln_vals and all(v == 1.0 for v in ln_vals)
+    assert other_vals and all(v == 0.0 for v in other_vals)
+
+
+def test_biomed_config_builds_offline():
+    """ViT-B-16-biomed builds abstractly with zero hub access (inline
+    hf_model_config); weight download is a separate, gated overlay."""
+    cfg = get_model_config("ViT-B-16-biomed")
+    assert cfg["text_cfg"]["hf_model_config"]["hidden_size"] == 768
+    model, _ = create_model("ViT-B-16-biomed", init_params=False)
+    imgs = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    toks = jnp.zeros((2, 256), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.key(0), imgs, toks))
+    assert "hf" in shapes["params"]["text"]
+    out = jax.eval_shape(lambda v: model.apply(v, imgs, toks), shapes)
+    assert out["text_features"].shape == (2, 512)
