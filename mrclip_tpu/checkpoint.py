@@ -202,7 +202,11 @@ def load_torch_checkpoint(path: str, **kwargs) -> dict:
             # openai.py:40-55): pull the state dict out of the jit module.
             ckpt = torch.jit.load(path, map_location="cpu").state_dict()
         sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt.state_dict()
-    return import_torch_state_dict(sd, **kwargs)
+    from .convert import convert_state_dict
+
+    # dispatches open_clip/OpenAI layouts to import_torch_state_dict and
+    # bare timm ViT checkpoints to timm_vit_to_vision_params
+    return convert_state_dict({k: _to_np(v) for k, v in _strip_module_prefix(dict(sd)).items()}, **kwargs)
 
 
 # ---------------------------------------------------------------------------

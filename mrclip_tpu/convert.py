@@ -7,6 +7,9 @@ Capability parity with reference `src/open_clip/convert.py`:
   into torch layout; we don't).
 - `convert_mobile_clip_state_dict` (:152-191): MobileCLIP checkpoints target
   timm towers (torch-specific); detected and rejected with guidance.
+- `timm_vit_to_vision_params`: TPU-native replacement for the reference's
+  TimmModel adapter (`timm_model.py:29-153`) — remaps timm ViT checkpoints
+  onto the native VisionTransformer instead of wrapping timm at runtime.
 - `convert_state_dict` dispatch (:193-200).
 """
 
@@ -16,7 +19,7 @@ from typing import Dict, Mapping
 
 import numpy as np
 
-__all__ = ["big_vision_npz_to_params", "convert_state_dict"]
+__all__ = ["big_vision_npz_to_params", "timm_vit_to_vision_params", "convert_state_dict"]
 
 
 def _fuse_qkv(w: Mapping, prefix: str) -> Dict[str, np.ndarray]:
@@ -149,6 +152,89 @@ def big_vision_npz_to_params(w: Mapping, *, scan_layers: bool = True, **_ignored
     return jax.tree.map(jnp.asarray, params)
 
 
+def timm_vit_to_vision_params(
+    sd: Mapping,
+    *,
+    scan_layers: bool = False,
+    image_grid=None,
+    include_head: bool = False,
+    **_ignored,
+) -> dict:
+    """timm ViT state dict -> native `VisionTransformer` params.
+
+    TPU-native replacement for the reference's torch-module TimmModel
+    adapter (`src/open_clip/timm_model.py:29-153`): instead of wrapping timm
+    at runtime, the checkpoint's weights are remapped onto the native tower
+    (`vit_*_patch*` family: cls_token/pos_embed/patch_embed + qkv blocks +
+    final norm; `norm_pre` when present, e.g. timm's `*_clip_*` variants).
+    Returns the vision-tower subtree (mount at `params['visual']`). The
+    classifier `head` is dropped unless `include_head=True` (mapped to the
+    contrastive `proj`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pos_embed import resize_image_pos_embed
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    vis: dict = {
+        "class_embedding": sd["cls_token"].reshape(-1),
+        "conv1": {
+            "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+    }
+    pos = sd["pos_embed"].reshape(sd["pos_embed"].shape[-2], -1)
+    if image_grid is not None:
+        pos = resize_image_pos_embed(pos, image_grid)
+    vis["positional_embedding"] = pos
+    if "norm_pre.weight" in sd:  # timm CLIP-style ViTs carry a pre-norm
+        vis["ln_pre"] = {"scale": sd["norm_pre.weight"], "bias": sd["norm_pre.bias"]}
+    vis["ln_post"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    if include_head and "head.weight" in sd:
+        vis["proj"] = sd["head.weight"].T
+
+    import re as _re
+
+    pat = _re.compile(r"blocks\.(\d+)\.(.+)")
+    per_layer: Dict[int, Dict[str, np.ndarray]] = {}
+    for key, val in sd.items():
+        m = pat.match(key)
+        if m:
+            per_layer.setdefault(int(m.group(1)), {})[m.group(2)] = val
+    if not per_layer:
+        raise ValueError("not a timm ViT state dict: no blocks.N.* keys")
+
+    def block_params(layer):
+        return {
+            "ln_1": {"scale": layer["norm1.weight"], "bias": layer["norm1.bias"]},
+            "attn": {
+                "in_proj": {
+                    "kernel": layer["attn.qkv.weight"].T,
+                    "bias": layer["attn.qkv.bias"],
+                },
+                "out_proj": {
+                    "kernel": layer["attn.proj.weight"].T,
+                    "bias": layer["attn.proj.bias"],
+                },
+            },
+            "ln_2": {"scale": layer["norm2.weight"], "bias": layer["norm2.bias"]},
+            "mlp": {
+                "c_fc": {"kernel": layer["mlp.fc1.weight"].T, "bias": layer["mlp.fc1.bias"]},
+                "c_proj": {"kernel": layer["mlp.fc2.weight"].T, "bias": layer["mlp.fc2.bias"]},
+            },
+        }
+
+    blocks = [block_params(per_layer[i]) for i in range(max(per_layer) + 1)]
+    if scan_layers:
+        vis["transformer"] = {
+            "blocks": {"block": jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)}
+        }
+    else:
+        vis["transformer"] = {f"blocks_{i}": blk for i, blk in enumerate(blocks)}
+    return jax.tree.map(jnp.asarray, vis)
+
+
 def convert_state_dict(sd: Mapping, **kwargs) -> dict:
     """Dispatch by checkpoint flavor (reference convert.py:193-200)."""
     keys = list(sd.keys())
@@ -160,6 +246,9 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
             "(reference convert.py:152-191); use a ViT/RN config with an "
             "open_clip-format checkpoint instead."
         )
+    if "patch_embed.proj.weight" in keys:  # bare timm ViT (vision-only)
+        kwargs.pop("context_length", None)
+        return {"visual": timm_vit_to_vision_params(sd, **kwargs)}
     from .checkpoint import import_torch_state_dict
 
     return import_torch_state_dict(dict(sd), **kwargs)

@@ -104,6 +104,64 @@ def _filter_cfg(cfg_cls, d):
     return cfg_cls(**{k: v for k, v in dict(d).items() if k in names})
 
 
+_TIMM_VIT_DIMS = {
+    # width, layers, heads (timm vit_* family)
+    "tiny": (192, 12, 3),
+    "small": (384, 12, 6),
+    "base": (768, 12, 12),
+    "large": (1024, 24, 16),
+    "huge": (1280, 32, 16),
+}
+
+
+def _build_timm_vit_tower(
+    embed_dim, vision_cfg, dtype, scan_layers, remat, remat_policy, attn_impl, name
+) -> nn.Module:
+    """TPU-native stand-in for the reference TimmModel vision adapter
+    (`src/open_clip/timm_model.py:29-153`): `vit_*_patch*` names build the
+    native VisionTransformer with timm conventions (patch-embed bias, no
+    pre-LN unless a `_clip_` variant, final norm before pool); the matching
+    timm checkpoints load via `convert.timm_vit_to_vision_params`. Non-ViT
+    timm families (convnext, efficientnet, ...) have no TPU port."""
+    import re as _re
+
+    tname = vision_cfg.timm_model_name
+    m = _re.match(r"vit_(tiny|small|base|large|huge)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$", tname)
+    if not m:
+        raise NotImplementedError(
+            f"timm model '{tname}' has no TPU-native mapping; supported: the "
+            "vit_{tiny,small,base,large,huge}_patch{P}[_clip]_{RES} family "
+            "(reference timm_model.py:29-153). Use a native ViT/RN config for "
+            "other architectures."
+        )
+    size, patch, variant, res = m.group(1), int(m.group(2)), m.group(3), int(m.group(4))
+    width, layers, heads = _TIMM_VIT_DIMS[size]
+    if vision_cfg.timm_proj not in ("linear", ""):
+        raise NotImplementedError(
+            f"timm_proj='{vision_cfg.timm_proj}' not supported on the native "
+            "tower (linear only; reference timm_model.py:81-95)"
+        )
+    if vision_cfg.timm_proj_bias:
+        raise NotImplementedError("timm_proj_bias not supported (linear no-bias proj)")
+    return VisionTransformer(
+        image_size=vision_cfg.image_size or res,
+        patch_size=patch,
+        width=width,
+        layers=layers,
+        heads=heads,
+        output_dim=embed_dim,
+        patch_bias=True,
+        no_ln_pre="_clip" not in variant,  # timm CLIP variants carry norm_pre
+        pool_type="avg" if vision_cfg.timm_pool == "avg" else "tok",
+        attn_impl=attn_impl,
+        scan_layers=scan_layers,
+        remat=remat,
+        remat_policy=remat_policy,
+        dtype=dtype,
+        name=name,
+    )
+
+
 def build_vision_tower(
     embed_dim: int,
     vision_cfg: Union[CLIPVisionCfg, dict],
@@ -120,10 +178,8 @@ def build_vision_tower(
     act = quick_gelu if quick_gelu_act else gelu_exact
 
     if vision_cfg.timm_model_name:
-        raise NotImplementedError(
-            "timm vision towers are torch-specific; use a native ViT/ResNet config "
-            "(reference timm_model.py adapter has no TPU equivalent yet)"
-        )
+        return _build_timm_vit_tower(embed_dim, vision_cfg, dtype, scan_layers,
+                                     remat, remat_policy, attn_impl, name)
     if isinstance(vision_cfg.layers, (tuple, list)):
         heads = vision_cfg.width * 32 // vision_cfg.head_width
         return ModifiedResNet(

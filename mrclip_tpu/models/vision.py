@@ -39,6 +39,7 @@ class _PatchEmbed(nn.Module):
 
     width: int
     patch: Tuple[int, int]
+    use_bias: bool = False  # open_clip ViTs have none; timm ViTs do
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -48,7 +49,11 @@ class _PatchEmbed(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (ph, pw, 3, self.width)
         )
         w = kernel.reshape(ph * pw * 3, self.width)
-        return jnp.dot(patches, w.astype(self.dtype))
+        out = jnp.dot(patches, w.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.width,))
+            out = out + bias.astype(self.dtype)
+        return out
 
 
 class VisionTransformer(nn.Module):
@@ -72,6 +77,7 @@ class VisionTransformer(nn.Module):
     final_ln_after_pool: bool = False
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     output_tokens: bool = False
+    patch_bias: bool = False
     attn_impl: str = "xla"
     scan_layers: bool = True
     remat: bool = False
@@ -100,7 +106,10 @@ class VisionTransformer(nn.Module):
         x = images.astype(self.dtype)
         x = x.reshape(b, gh, ph, gw, pw, 3)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, ph * pw * 3)
-        x = _PatchEmbed(width=self.width, patch=(ph, pw), dtype=self.dtype, name="conv1")(x)
+        x = _PatchEmbed(
+            width=self.width, patch=(ph, pw), use_bias=self.patch_bias,
+            dtype=self.dtype, name="conv1",
+        )(x)
 
         cls = self.param(
             "class_embedding", nn.initializers.normal(stddev=self.width**-0.5), (self.width,)

@@ -39,13 +39,28 @@ def flash_available() -> bool:
 
 
 def flash_attention_unpadded(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, is_causal: bool = False
+    q: jax.Array, k: jax.Array, v: jax.Array, *, is_causal: bool = False,
+    save_residuals: bool = False,
 ) -> jax.Array:
     """Fused attention; `q`,`k`,`v`: [B, N, H, D] -> [B, N, H, D].
 
     Matches `jax.nn.dot_product_attention(q, k, v, is_causal=...)` (scale
     1/sqrt(D), fp32 softmax) with O(N) memory instead of O(N^2).
+
+    By default the call is wrapped in `jax.checkpoint`: the kernel's custom
+    vjp would otherwise stash padded q/k/v copies + output + logsumexp as
+    residuals (~1.2 GB at ViT-B/16 b80 — enough to OOM a 16G chip that the
+    XLA path fits on). Recomputing the flash forward in the backward costs
+    ~1 extra fwd kernel per layer and keeps only the unpadded inputs live.
+    Set `save_residuals=True` to trade that FLOP back for memory.
     """
+    if not save_residuals:
+        fn = jax.checkpoint(
+            lambda q_, k_, v_: flash_attention_unpadded(
+                q_, k_, v_, is_causal=is_causal, save_residuals=True
+            )
+        )
+        return fn(q, k, v)
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,

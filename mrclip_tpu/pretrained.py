@@ -27,6 +27,8 @@ from .constants import (
     HF_WEIGHTS_NAME,
     IMAGENET_MEAN,
     IMAGENET_STD,
+    INCEPTION_MEAN,
+    INCEPTION_STD,
     OPENAI_DATASET_MEAN,
     OPENAI_DATASET_STD,
 )
@@ -54,41 +56,154 @@ def _apcfg(**kwargs) -> dict:  # OpenAI/LAION default preprocessing
     return _pcfg(mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD, **kwargs)
 
 
+def _slpcfg(**kwargs) -> dict:  # SigLIP (webli) preprocessing
+    return _pcfg(mean=INCEPTION_MEAN, std=INCEPTION_STD, interpolation="bicubic",
+                 resize_mode="squash", **kwargs)
+
+
 _OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models"
 
+_GH = "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights"
+
+# Tags for every architecture this framework ships a config for (reference
+# pretrained.py:93-608; the reference's full table also carries archs that
+# have no config here — convnext/EVA/nllb/roberta variants — which are noted
+# as gaps in PARITY.md rather than listed unloadable).
 _PRETRAINED: Dict[str, Dict[str, dict]] = {
     "RN50": {
         "openai": _apcfg(
             url=f"{_OPENAI_BASE}/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
             quick_gelu=True,
         ),
-        "yfcc15m": _apcfg(hf_hub="timm/resnet50_clip.yfcc15m/"),
-        "cc12m": _apcfg(hf_hub="timm/resnet50_clip.cc12m/"),
+        "yfcc15m": _apcfg(hf_hub="timm/resnet50_clip.yfcc15m/", quick_gelu=True),
+        "cc12m": _apcfg(hf_hub="timm/resnet50_clip.cc12m/", quick_gelu=True),
+    },
+    "RN101": {
+        "openai": _apcfg(
+            url=f"{_OPENAI_BASE}/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+            quick_gelu=True,
+        ),
+        "yfcc15m": _apcfg(
+            url=f"{_GH}/rn101-quickgelu-yfcc15m-3e04b30e.pt",
+            hf_hub="timm/resnet101_clip.yfcc15m/",
+            quick_gelu=True,
+        ),
     },
     "ViT-B-32": {
         "openai": _apcfg(
             url=f"{_OPENAI_BASE}/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
             quick_gelu=True,
         ),
-        "laion400m_e32": _apcfg(hf_hub="timm/vit_base_patch32_clip_224.laion400m_e32/"),
+        "laion400m_e31": _apcfg(
+            url=f"{_GH}/vit_b_32-quickgelu-laion400m_e31-d867053b.pt",
+            hf_hub="timm/vit_base_patch32_clip_224.laion400m_e31/",
+            quick_gelu=True,
+        ),
+        "laion400m_e32": _apcfg(
+            url=f"{_GH}/vit_b_32-quickgelu-laion400m_e32-46683a32.pt",
+            hf_hub="timm/vit_base_patch32_clip_224.laion400m_e32/",
+            quick_gelu=True,
+        ),
+        "laion2b_e16": _apcfg(
+            url=f"{_GH}/vit_b_32-laion2b_e16-af8dbd0c.pth",
+            hf_hub="timm/vit_base_patch32_clip_224.laion2b_e16/",
+        ),
         "laion2b_s34b_b79k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-laion2B-s34B-b79K/"),
+        "datacomp_xl_s13b_b90k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K/"),
+        "datacomp_m_s128m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K/"),
+        "datacomp_s_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-DataComp.S-s13M-b4K/"),
+        "commonpool_m_clip_s128m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.clip-s128M-b4K/"),
+        "commonpool_m_laion_s128m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.laion-s128M-b4K/"),
+        "commonpool_m_image_s128m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.image-s128M-b4K/"),
+        "commonpool_m_text_s128m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.text-s128M-b4K/"),
+        "commonpool_m_basic_s128m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.basic-s128M-b4K/"),
+        "commonpool_m_s128m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.M-s128M-b4K/"),
+        "commonpool_s_clip_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.clip-s13M-b4K/"),
+        "commonpool_s_laion_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.laion-s13M-b4K/"),
+        "commonpool_s_image_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.image-s13M-b4K/"),
+        "commonpool_s_text_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.text-s13M-b4K/"),
+        "commonpool_s_basic_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.basic-s13M-b4K/"),
+        "commonpool_s_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S-s13M-b4K/"),
     },
     "ViT-B-16": {
         "openai": _apcfg(
             url=f"{_OPENAI_BASE}/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
             quick_gelu=True,
         ),
-        "laion400m_e32": _apcfg(hf_hub="timm/vit_base_patch16_clip_224.laion400m_e32/"),
+        "laion400m_e31": _apcfg(
+            url=f"{_GH}/vit_b_16-laion400m_e31-00efa78f.pt",
+            hf_hub="timm/vit_base_patch16_clip_224.laion400m_e31/",
+        ),
+        "laion400m_e32": _apcfg(
+            url=f"{_GH}/vit_b_16-laion400m_e32-55e67d44.pt",
+            hf_hub="timm/vit_base_patch16_clip_224.laion400m_e32/",
+        ),
         "laion2b_s34b_b88k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-laion2B-s34B-b88K/"),
+        "datacomp_xl_s13b_b90k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-DataComp.XL-s13B-b90K/"),
+        "datacomp_l_s1b_b8k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-DataComp.L-s1B-b8K/"),
+        "commonpool_l_clip_s1b_b8k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.clip-s1B-b8K/"),
+        "commonpool_l_laion_s1b_b8k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.laion-s1B-b8K/"),
+        "commonpool_l_image_s1b_b8k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.image-s1B-b8K/"),
+        "commonpool_l_text_s1b_b8k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.text-s1B-b8K/"),
+        "commonpool_l_basic_s1b_b8k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.basic-s1B-b8K/"),
+        "commonpool_l_s1b_b8k": _apcfg(hf_hub="laion/CLIP-ViT-B-16-CommonPool.L-s1B-b8K/"),
+        "dfn2b": _apcfg(hf_hub="apple/DFN2B-CLIP-ViT-B-16/", quick_gelu=True),
+        "metaclip_400m": _apcfg(
+            url="https://dl.fbaipublicfiles.com/MMPT/metaclip/b16_400m.pt", quick_gelu=True,
+        ),
     },
     "ViT-L-14": {
         "openai": _apcfg(
             url=f"{_OPENAI_BASE}/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt",
             quick_gelu=True,
         ),
+        "laion400m_e31": _apcfg(
+            url=f"{_GH}/vit_l_14-laion400m_e31-69988bb6.pt",
+            hf_hub="timm/vit_large_patch14_clip_224.laion400m_e31/",
+        ),
+        "laion400m_e32": _apcfg(
+            url=f"{_GH}/vit_l_14-laion400m_e32-3d133497.pt",
+            hf_hub="timm/vit_large_patch14_clip_224.laion400m_e32/",
+        ),
         "laion2b_s32b_b82k": _pcfg(
             hf_hub="laion/CLIP-ViT-L-14-laion2B-s32B-b82K/",
             mean=IMAGENET_MEAN, std=IMAGENET_STD,
+        ),
+        "datacomp_xl_s13b_b90k": _apcfg(hf_hub="laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K/"),
+        "commonpool_xl_clip_s13b_b90k": _apcfg(hf_hub="laion/CLIP-ViT-L-14-CommonPool.XL.clip-s13B-b90K/"),
+        "commonpool_xl_laion_s13b_b90k": _apcfg(hf_hub="laion/CLIP-ViT-L-14-CommonPool.XL.laion-s13B-b90K/"),
+        "commonpool_xl_s13b_b90k": _apcfg(hf_hub="laion/CLIP-ViT-L-14-CommonPool.XL-s13B-b90K/"),
+        "metaclip_400m": _apcfg(
+            url="https://dl.fbaipublicfiles.com/MMPT/metaclip/l14_400m.pt", quick_gelu=True,
+        ),
+        "metaclip_fullcc": _apcfg(
+            url="https://dl.fbaipublicfiles.com/MMPT/metaclip/l14_fullcc2.5b.pt", quick_gelu=True,
+        ),
+        "dfn2b": _apcfg(hf_hub="apple/DFN2B-CLIP-ViT-L-14/", quick_gelu=True),
+    },
+    "ViT-L-14-336": {
+        "openai": _apcfg(
+            url=f"{_OPENAI_BASE}/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt",
+            quick_gelu=True,
+        ),
+    },
+    "ViT-H-14": {
+        "laion2b_s32b_b79k": _apcfg(hf_hub="laion/CLIP-ViT-H-14-laion2B-s32B-b79K/"),
+        "metaclip_fullcc": _apcfg(
+            url="https://dl.fbaipublicfiles.com/MMPT/metaclip/h14_fullcc2.5b.pt", quick_gelu=True,
+        ),
+        "metaclip_altogether": _apcfg(
+            url="https://dl.fbaipublicfiles.com/MMPT/metaclip/h14_v1.2_altogether.pt",
+        ),
+        "dfn5b": _apcfg(hf_hub="apple/DFN5B-CLIP-ViT-H-14/", quick_gelu=True),
+    },
+    "ViT-B-16-SigLIP": {
+        "webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP/"),
+    },
+    "coca_ViT-B-32": {
+        "laion2b_s13b_b90k": _apcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
+        "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(
+            hf_hub="laion/mscoco_finetuned_CoCa-ViT-B-32-laion2B-s13B-b90k/"
         ),
     },
 }
@@ -175,14 +290,21 @@ def download_pretrained_from_hf(
     return hf_hub_download(model_id, filename, cache_dir=cache_dir)
 
 
-def download_pretrained(cfg: dict, cache_dir: Optional[str] = None) -> str:
-    """Dispatch url vs hf_hub (reference :763+). Returns a local path."""
+def download_pretrained(
+    cfg: dict, cache_dir: Optional[str] = None, prefer_hf_hub: bool = True
+) -> str:
+    """Dispatch url vs hf_hub (reference :763-792). Returns a local path.
+
+    `hf_hub` entries of the form 'org/repo/' fetch the repo's default weight
+    file (safetensors preferred); 'org/repo/file.bin' fetches that file.
+    """
     url = cfg.get("url")
     hf_hub = cfg.get("hf_hub")
+    if url and hf_hub and prefer_hf_hub:
+        url = None  # the hub mirror is the maintained source (reference :779)
     if url:
         return download_pretrained_from_url(url, cache_dir, cfg.get("sha256", ""))
     if hf_hub:
-        model_id, _, fname = hf_hub.rstrip("/").partition("/") if "/" not in hf_hub else (hf_hub.rstrip("/"), "", "")
         if hf_hub.endswith("/"):
             return download_pretrained_from_hf(hf_hub.rstrip("/"), cache_dir=cache_dir)
         repo, _, fname = hf_hub.rpartition("/")

@@ -271,7 +271,7 @@ def evaluate(
             metrics["val_generative_loss"] = metrics.get("val_generative_loss", 0.0) + gen * b
         num_samples += b
 
-        if cap is None or len(all_img) * b < cap:
+        if cap is None or sum(a.shape[0] for a in all_img) < cap:
             all_img.append(np.asarray(img_f))
             all_txt.append(np.asarray(txt_f))
             if "labels" in batch:
@@ -384,7 +384,12 @@ def test_metrics(model, state, data, args, tokenizer=None) -> dict:
         toks = jnp.asarray(tokenizer(unique_captions[s : s + bs]))
         txt_chunks.append(np.asarray(encode_text(variables, toks)))
     unique_txt = np.concatenate(txt_chunks)  # [U, D]
-    unique_labels = np.array([labels[captions.index(c)] for c in unique_captions])
+    # first-occurrence index per caption in one O(N) pass (captions.index(c)
+    # per unique caption is O(N*U) and walls at scale)
+    first_idx: Dict[str, int] = {}
+    for i, c in enumerate(captions):
+        first_idx.setdefault(c, i)
+    unique_labels = np.array([labels[first_idx[c]] for c in unique_captions])
 
     # 2. encode images + per-image ranks vs all unique texts (:934-985)
     encode_image = jax.jit(lambda v, im: model.apply(v, im, None)["image_features"])
@@ -402,7 +407,7 @@ def test_metrics(model, state, data, args, tokenizer=None) -> dict:
     sims = scale * img @ unique_txt.T  # [N, U]
     order = np.argsort(-sims, axis=1, kind="stable")
 
-    # best same-label rank per image
+    # best same-label rank per image ("general" ground truth)
     same = unique_labels[order] == img_labels[: len(order), None]
     i2t_ranks = np.argmax(same, axis=1)
     i2t_ranks[~same.any(axis=1)] = len(unique_captions)
@@ -413,6 +418,15 @@ def test_metrics(model, state, data, args, tokenizer=None) -> dict:
     }
     for k in (1, 5, 10):
         metrics[f"i2t_R@{k}"] = float(np.mean(i2t_ranks < k))
+
+    # "unique" ground truth: the image's OWN caption must rank high
+    # (reference train.py:1085-1158 exact-caption identity block)
+    own_unique = np.array([cap_to_unique[c] for c in captions])[: len(order)]
+    i2t_unique_ranks = np.argmax(order == own_unique[:, None], axis=1)
+    metrics["i2t_unique_mean_rank"] = float(i2t_unique_ranks.mean() + 1)
+    metrics["i2t_unique_median_rank"] = float(np.floor(np.median(i2t_unique_ranks)) + 1)
+    for k in (1, 5, 10):
+        metrics[f"i2t_unique_R@{k}"] = float(np.mean(i2t_unique_ranks < k))
 
     # 3. 3D volume voting (:987-1071)
     top10_labels = unique_labels[order[:, :10]]
@@ -439,6 +453,35 @@ def test_metrics(model, state, data, args, tokenizer=None) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "i2t_ranks.npy"), i2t_ranks)
     np.save(os.path.join(out_dir, "t2i_ranks.npy"), t2i_ranks)
+
+    if getattr(args, "tracepreds", False):
+        # --tracepreds in test mode (reference train.py:1167-1221): dump the
+        # anchor images plus their top predicted captions for inspection.
+        traced_dir = os.path.join(out_dir, "test_traced")
+        os.makedirs(traced_dir, exist_ok=True)
+        paths = getattr(dataset, "images", None)
+        preds = {}
+        for i in range(min(20, len(order))):
+            entry = {
+                "true_caption": captions[i],
+                "true_label": int(img_labels[i]),
+                "predicted": [
+                    {"caption": unique_captions[j], "label": int(unique_labels[j])}
+                    for j in order[i, :10]
+                ],
+                "general_rank": int(i2t_ranks[i]),
+                "unique_rank": int(i2t_unique_ranks[i]),
+            }
+            preds[str(i)] = entry
+            if paths is not None:
+                import shutil
+
+                try:
+                    shutil.copy(str(paths[i]), os.path.join(traced_dir, f"anchor_{i}.png"))
+                except OSError as e:
+                    logging.warning(f"tracepreds image export failed: {e}")
+        with open(os.path.join(traced_dir, "predictions.json"), "w") as f:
+            json.dump(preds, f, indent=1)
     grouped = {
         vol: {"true": vol_true[vol][0], "votes": slice_votes[vol]} for vol in slice_votes
     }

@@ -35,9 +35,13 @@ def test_grads_match_xla_attention():
     def loss(fn, q, k, v):
         return (fn(q, k, v) * w).sum()
 
+    # save_residuals=True: the default remat wrapper can't be partial-eval'd
+    # in interpret mode (io-callback effects); on hardware both paths run.
     with pltpu.force_tpu_interpret_mode():
         g_flash = jax.grad(
-            lambda *a: loss(lambda q, k, v: flash_attention_unpadded(q, k, v), *a),
+            lambda *a: loss(
+                lambda q, k, v: flash_attention_unpadded(q, k, v, save_residuals=True), *a
+            ),
             argnums=(0, 1, 2),
         )(q, k, v)
     g_ref = jax.grad(

@@ -49,3 +49,28 @@ def test_cli_test_mode(data_dir, tmp_path):
     assert len(grp) == 4  # one entry per 3D volume
     r = np.load(ranks[0])
     assert r.shape == (12,)
+    # unique-caption identity block (reference train.py:1085-1158)
+    assert 0.0 <= res["i2t_unique_R@1"] <= 1.0
+    assert res["i2t_unique_R@10"] == 1.0
+
+
+def test_cli_test_mode_tracepreds(data_dir, tmp_path):
+    """--test --tracepreds dumps anchor images + top predicted captions
+    (reference train.py:1167-1221)."""
+    args = [
+        "--val-data", str(data_dir / "data.csv"), "--dataset-type", "csv",
+        "--model", "ViT-B-32-mini", "--batch-size", "4",
+        "--precision", "fp32", "--workers", "0",
+        "--logs", str(tmp_path / "logs"), "--name", "tp",
+        "--test", "--tracepreds",
+    ]
+    train_main(args)
+    traced = list((tmp_path / "logs" / "tp").rglob("test_traced/predictions.json"))
+    assert traced, "no test_traced/predictions.json written"
+    preds = json.loads(traced[0].read_text())
+    assert len(preds) == 12
+    first = preds["0"]
+    assert {"true_caption", "predicted", "general_rank", "unique_rank"} <= set(first)
+    assert len(first["predicted"]) == 2  # only 2 unique captions exist
+    anchors = list((tmp_path / "logs" / "tp").rglob("test_traced/anchor_*.png"))
+    assert len(anchors) == 12
