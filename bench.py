@@ -30,7 +30,8 @@ _PEAK_TFLOPS = [
 ]
 
 
-def _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div):
+def _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div,
+                gflops_per_pair=None):
     """Print XLA-cost-analysis-backed FLOPs + MFU to stderr (stdout keeps the
     one-JSON-line driver contract)."""
     import sys
@@ -44,8 +45,12 @@ def _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div):
             cost = cost[0]
         total_flops = float(cost["flops"]) * flops_div
     except Exception as e:  # noqa: BLE001 - diagnostics only
-        print(f"[mfu] cost_analysis unavailable: {e!r}", file=sys.stderr)
-        return
+        if gflops_per_pair is None:
+            print(f"[mfu] cost_analysis unavailable: {e!r} "
+                  "(pass --gflops-per-pair from tools/flops_count.py)",
+                  file=sys.stderr)
+            return
+        total_flops = gflops_per_pair * 1e9 * batch * steps
     kind = jax.devices()[0].device_kind
     peak = next((p for s, p in _PEAK_TFLOPS if s in kind.lower()), None)
     achieved = total_flops / dt / 1e12
@@ -77,7 +82,7 @@ def main():
     parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
     parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
     parser.add_argument(
-        "--attn-impl", type=str, default="xla", choices=["xla", "flash"],
+        "--attn-impl", type=str, default="xla", choices=["xla", "manual", "flash"],
         help="attention kernel: xla (GSPMD-shardable default) or flash "
         "(Pallas fused kernel, no HBM score matrix; single TPU chip)",
     )
@@ -89,6 +94,11 @@ def main():
         "production path (1 byte/px H2D instead of 4)",
     )
     parser.add_argument("--mfu", action="store_true", help="print XLA cost-analysis FLOPs + MFU to stderr")
+    parser.add_argument(
+        "--gflops-per-pair", type=float, default=None,
+        help="known GFLOPs/pair for the MFU report (from tools/flops_count.py; "
+        "the axon TPU client returns no cost analysis)",
+    )
     parser.add_argument("--trace", type=str, default=None, help="capture a jax.profiler trace into this dir")
     parser.add_argument(
         "--infer", action="store_true",
@@ -271,7 +281,8 @@ def main():
     assert np.isfinite(final_loss)
 
     if args.mfu:
-        _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div)
+        _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div,
+                    gflops_per_pair=args.gflops_per_pair)
 
     pairs_per_sec = batch * steps / dt
     n_chips = jax.device_count() if on_tpu else 1

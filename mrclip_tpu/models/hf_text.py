@@ -106,7 +106,9 @@ class HFTextEncoder(nn.Module):
         module_cls = _flax_module_class(hf_config)
         # Child module: params live at <tower>/hf/... in the pytree.
         self.hf = module_cls(config=hf_config, dtype=self.dtype)
-        self._hf_width = hf_config.hidden_size
+        # width attr varies by arch (reference hf_configs.py arch_dict:
+        # bert/roberta hidden_size, t5/mt5 d_model, m2m100 d_model)
+        self._hf_width = getattr(hf_config, "hidden_size", None) or hf_config.d_model
 
         d_model = self._hf_width
         if self.proj_type == "linear" and d_model != self.output_dim:

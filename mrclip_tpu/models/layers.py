@@ -14,6 +14,7 @@ AttentionalPooler) re-designed for JAX/XLA:
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional
 
 import jax
@@ -220,6 +221,26 @@ class MultiHeadAttention(nn.Module):
             from ..ops.flash_attn import flash_attention_unpadded
 
             out = flash_attention_unpadded(q, k, v, is_causal=is_causal)
+        elif self.attn_impl == "manual":
+            # Same math as the xla path, but the softmax probabilities are
+            # cast to the compute dtype BEFORE the AV matmul: under bf16 the
+            # [B, H, N, N] tensor XLA materializes in HBM halves (the r1
+            # trace showed fp32 score traffic dominating attention time).
+            head_scale = 1.0 / math.sqrt(head_dim)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * head_scale
+            if is_causal:
+                n_q, n_k = logits.shape[-2], logits.shape[-1]
+                causal = jnp.tril(jnp.ones((n_q, n_k), dtype=bool))
+                logits = jnp.where(causal, logits, -jnp.inf)
+            if mask is not None:
+                if mask.dtype == jnp.bool_:
+                    logits = jnp.where(mask, logits, -jnp.inf)
+                else:
+                    logits = logits + mask.astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         else:
             bias = None
             bool_mask = None

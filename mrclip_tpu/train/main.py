@@ -118,6 +118,8 @@ def main(args=None):
         force_image_size=tuple(args.force_image_size) if args.force_image_size else None,
         logit_scale_trainable=not args.logitscaletrainable,
         grad_checkpointing=args.grad_checkpointing,
+        remat_policy=args.remat_policy,
+        attn_impl=args.attn_impl,
         text_dropout=args.textdropout,
         aug_cfg=args.aug_cfg,
         rng_seed=args.seed,
@@ -173,6 +175,7 @@ def main(args=None):
         grad_clip_norm=args.grad_clip_norm,
         opt=args.opt,
         momentum=args.momentum,
+        moments_dtype="bfloat16" if args.bf16_moments else None,
     )
     tx = chain_with_mask(tx, mask)
     state = create_train_state(variables, tx, mesh)

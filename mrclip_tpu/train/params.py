@@ -121,6 +121,19 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--grad-clip-norm", type=float, default=None)
     p.add_argument("--accum-freq", type=int, default=1)
     p.add_argument("--grad-checkpointing", default=False, action="store_true")
+    p.add_argument(
+        "--remat-policy", choices=["full", "dots", "mlp_only"], default="dots",
+        help="what --grad-checkpointing saves: dots (weight-matmul outputs), "
+        "mlp_only (attention outputs; recompute MLP hiddens), full",
+    )
+    p.add_argument(
+        "--attn-impl", choices=["xla", "manual", "flash"], default="xla",
+        help="attention kernel; flash = Pallas fused (single-device, long-seq)",
+    )
+    p.add_argument(
+        "--bf16-moments", default=False, action="store_true",
+        help="store the Adam/Lion first moment in bf16 (halves mu HBM)",
+    )
 
     # checkpointing
     p.add_argument("--save-frequency", type=int, default=1)

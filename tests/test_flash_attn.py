@@ -52,6 +52,23 @@ def test_grads_match_xla_attention():
         assert float(jnp.abs(a - b).max()) < 1e-3
 
 
+def test_clip_model_manual_equals_xla():
+    """Full mini-CLIP forward: attn_impl='manual' (bf16-probs einsum path)
+    == attn_impl='xla' in fp32."""
+    from mrclip_tpu.factory import create_model
+
+    kw = dict(scan_layers=False, rng_seed=0)
+    model_x, vars_x = create_model("ViT-B-32-mini", attn_impl="xla", **kw)
+    model_m, vars_m = create_model("ViT-B-32-mini", attn_impl="manual", **kw)
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    toks = jnp.asarray(rng.randint(1, 49408, (2, 32)), jnp.int32)
+    out_x = model_x.apply(vars_x, imgs, toks)
+    out_m = model_m.apply(vars_m, imgs, toks)
+    for key in ("image_features", "text_features"):
+        assert float(jnp.abs(out_x[key] - out_m[key]).max()) < 5e-5
+
+
 def test_clip_model_flash_equals_xla():
     """Full mini-CLIP forward: attn_impl='flash' == attn_impl='xla'."""
     from mrclip_tpu.factory import create_model

@@ -141,3 +141,21 @@ def test_scheduler_matches_reference_formulas():
             decay = (1 - (e / es)) ** 2.0
             want = decay * (base_lr - 1e-5) + 1e-5
         np.testing.assert_allclose(float(sched(s)), want, rtol=1e-4)
+
+
+def test_bf16_moments_optimizer():
+    """--bf16-moments: Adam mu stored in bf16, nu/params stay fp32, and a
+    step still produces finite fp32 updates."""
+    import optax
+
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    tx = create_optimizer(lr=1e-3, wd=0.0, moments_dtype="bfloat16")
+    state = tx.init(params)
+    mus = [l for l in jax.tree.leaves(state) if getattr(l, "dtype", None) == jnp.bfloat16]
+    assert mus, "no bf16 moment buffers found"
+    grads = {"w": jnp.full((4, 4), 0.5, jnp.float32)}
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert new["w"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(new["w"])).all()
+    assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
