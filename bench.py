@@ -82,8 +82,10 @@ def main():
     parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
     parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
     parser.add_argument(
-        "--attn-impl", type=str, default="xla", choices=["xla", "manual", "flash"],
-        help="attention kernel: xla (GSPMD-shardable default) or flash "
+        "--attn-impl", type=str, default="xla",
+        choices=["xla", "manual", "bf16", "flash"],
+        help="attention kernel: xla (GSPMD-shardable default), manual/bf16 "
+        "(explicit score-tensor dtype control), or flash "
         "(Pallas fused kernel, no HBM score matrix; single TPU chip)",
     )
     parser.add_argument("--bf16-moments", action="store_true", help="store Adam mu in bf16")
@@ -103,6 +105,11 @@ def main():
     parser.add_argument(
         "--infer", action="store_true",
         help="measure forward-only encode_image throughput instead of the train step",
+    )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="with --infer: W8A8 int8 quantized encode (ops/quant.py; "
+        "int8 MXU matmuls at 2x bf16 FLOP rate)",
     )
     args = parser.parse_args()
 
@@ -157,21 +164,32 @@ def main():
         rng = np.random.RandomState(0)
         imgs = jnp.asarray(rng.rand(batch, img_size, img_size, 3), jnp.float32)
 
+        if args.int8:
+            from mrclip_tpu.ops.quant import make_quantized_apply, quantize_dense_kernels
+
+            variables, qkernels = quantize_dense_kernels(variables)
+            qapply = make_quantized_apply(model)
+            apply_img = lambda v, q, x: qapply(v, q, x, None)["image_features"]
+        else:
+            qkernels = {}
+            apply_img = lambda v, q, x: model.apply(v, x, method=model.encode_image)
+
         @jax.jit
-        def encode_n(variables, imgs):
+        def encode_n(variables, qkernels, imgs):
             def body(c, _):
-                f = model.apply(variables, imgs + c, method=model.encode_image)
+                f = apply_img(variables, qkernels, imgs + c)
                 return (f[0, 0] * 1e-6).astype(jnp.float32), f[:1].sum()
             return jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=steps)[1]
 
-        float(encode_n(variables, imgs)[-1])  # compile + warmup
+        float(encode_n(variables, qkernels, imgs)[-1])  # compile + warmup
         t0 = time.perf_counter()
-        float(encode_n(variables, imgs)[-1])
+        float(encode_n(variables, qkernels, imgs)[-1])
         dt = time.perf_counter() - t0
         value = batch * steps / dt / (jax.device_count() if on_tpu else 1)
+        tag = ", int8 W8A8" if args.int8 else ""
         # ~1400 imgs/sec: single-A100 fp16 open_clip ViT-B/16 encode estimate.
         print(json.dumps({
-            "metric": f"images/sec/chip ({model_name} encode_image, forward only)",
+            "metric": f"images/sec/chip ({model_name} encode_image, forward only{tag})",
             "value": round(value, 2),
             "unit": "imgs/sec/chip",
             "vs_baseline": round(value / 1400.0, 3),

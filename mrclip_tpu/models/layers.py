@@ -221,15 +221,21 @@ class MultiHeadAttention(nn.Module):
             from ..ops.flash_attn import flash_attention_unpadded
 
             out = flash_attention_unpadded(q, k, v, is_causal=is_causal)
-        elif self.attn_impl == "manual":
-            # Same math as the xla path, but the softmax probabilities are
-            # cast to the compute dtype BEFORE the AV matmul: under bf16 the
-            # [B, H, N, N] tensor XLA materializes in HBM halves (the r1
-            # trace showed fp32 score traffic dominating attention time).
+        elif self.attn_impl in ("manual", "bf16"):
+            # Same math as the xla path, with explicit control over what the
+            # [B, H, N, N] score tensors are stored as in HBM (the r1 trace
+            # showed fp32 score traffic dominating attention time):
+            #   'manual': fp32 logits + softmax, probs cast to compute dtype
+            #             before the AV matmul (halves only the probs).
+            #   'bf16':   logits emitted in the compute dtype and softmax
+            #             upcast happens inside the fusion, so neither score
+            #             tensor materializes in fp32 (~3 significant digits
+            #             on the logits; opt-in, parity tests pin fp32).
+            score_dtype = jnp.float32 if self.attn_impl == "manual" else self.dtype
             head_scale = 1.0 / math.sqrt(head_dim)
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) * head_scale
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=score_dtype
+            ) * jnp.asarray(head_scale, score_dtype)
             if is_causal:
                 n_q, n_k = logits.shape[-2], logits.shape[-1]
                 causal = jnp.tril(jnp.ones((n_q, n_k), dtype=bool))
@@ -238,8 +244,8 @@ class MultiHeadAttention(nn.Module):
                 if mask.dtype == jnp.bool_:
                     logits = jnp.where(mask, logits, -jnp.inf)
                 else:
-                    logits = logits + mask.astype(jnp.float32)
-            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+                    logits = logits + mask.astype(score_dtype)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         else:
             bias = None

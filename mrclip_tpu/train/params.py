@@ -127,8 +127,10 @@ def parse_args(args=None) -> argparse.Namespace:
         "mlp_only (attention outputs; recompute MLP hiddens), full",
     )
     p.add_argument(
-        "--attn-impl", choices=["xla", "manual", "flash"], default="xla",
-        help="attention kernel; flash = Pallas fused (single-device, long-seq)",
+        "--attn-impl", choices=["xla", "manual", "bf16", "flash"], default="xla",
+        help="attention kernel; bf16 = scores stored in compute dtype "
+        "(halves attention HBM traffic, ~3 digits on logits); "
+        "flash = Pallas fused (single-device, long-seq)",
     )
     p.add_argument(
         "--bf16-moments", default=False, action="store_true",

@@ -69,6 +69,43 @@ def test_clip_model_manual_equals_xla():
         assert float(jnp.abs(out_x[key] - out_m[key]).max()) < 5e-5
 
 
+def test_clip_model_bf16_scores_equals_xla_in_fp32():
+    """attn_impl='bf16' stores scores in the compute dtype; under fp32
+    precision that IS fp32, so it must match the xla path exactly."""
+    from mrclip_tpu.factory import create_model
+
+    kw = dict(scan_layers=False, rng_seed=0)
+    model_x, vars_x = create_model("ViT-B-32-mini", attn_impl="xla", **kw)
+    model_b, vars_b = create_model("ViT-B-32-mini", attn_impl="bf16", **kw)
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    toks = jnp.asarray(rng.randint(1, 49408, (2, 32)), jnp.int32)
+    out_x = model_x.apply(vars_x, imgs, toks)
+    out_b = model_b.apply(vars_b, imgs, toks)
+    for key in ("image_features", "text_features"):
+        assert float(jnp.abs(out_x[key] - out_b[key]).max()) < 5e-5
+
+
+def test_clip_model_bf16_scores_close_under_bf16_compute():
+    """Under bf16 compute the bf16-score path loses ~1 bf16 ulp on the
+    logits; embeddings must stay essentially parallel to the xla path."""
+    from mrclip_tpu.factory import create_model
+
+    kw = dict(scan_layers=False, rng_seed=0, precision="bf16")
+    model_x, vars_x = create_model("ViT-B-32-mini", attn_impl="xla", **kw)
+    model_b, vars_b = create_model("ViT-B-32-mini", attn_impl="bf16", **kw)
+    rng = np.random.RandomState(8)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    toks = jnp.asarray(rng.randint(1, 49408, (2, 32)), jnp.int32)
+    out_x = model_x.apply(vars_x, imgs, toks)
+    out_b = model_b.apply(vars_b, imgs, toks)
+    for key in ("image_features", "text_features"):
+        a = np.asarray(out_x[key], np.float64)
+        b = np.asarray(out_b[key], np.float64)
+        cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+        assert cos.min() > 0.999, f"{key} cosine {cos.min()}"
+
+
 def test_clip_model_flash_equals_xla():
     """Full mini-CLIP forward: attn_impl='flash' == attn_impl='xla'."""
     from mrclip_tpu.factory import create_model
