@@ -1,0 +1,63 @@
+"""Export CLI: model + checkpoint -> serveable StableHLO artifact.
+
+TPU-native replacement for the reference's TorchScript deployment flags
+(reference main.py:293-294 `--torchscript`, model.py:574-587
+`trace_model`): instead of tracing a torch module, the jitted encoders are
+serialized as portable StableHLO (`serving.export_model`) that
+`mrclip_tpu.serve` can run without any model code.
+
+Usage:
+  python -m mrclip_tpu.export --model ViT-B-16 \
+      [--checkpoint /path/to/ckpt_or_torch.pt] [--pretrained TAG] \
+      [--batch-size N | symbolic] [--int8] --output model.mrclip
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> str:
+    p = argparse.ArgumentParser("mrclip_tpu export")
+    p.add_argument("--model", required=True, help="model config name, e.g. ViT-B-16")
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint to bake in: orbax dir or torch .pt/.bin/.safetensors",
+    )
+    p.add_argument(
+        "--pretrained", default=None,
+        help="pretrained tag (mrclip_tpu.pretrained registry) or path/URL",
+    )
+    p.add_argument(
+        "--batch-size", type=int, default=None,
+        help="fixed serve batch (default: symbolic, any batch size)",
+    )
+    p.add_argument(
+        "--int8", action="store_true",
+        help="W8A8 quantized encoders (int8 MXU matmuls, ~4x smaller artifact)",
+    )
+    p.add_argument("--precision", default="fp32", help="compute dtype baked into the artifact")
+    p.add_argument("--output", required=True, help="output .mrclip artifact path")
+    args = p.parse_args(argv)
+
+    from .factory import create_model
+    from .serving import export_model, save_exported
+
+    model, variables = create_model(
+        args.model,
+        precision=args.precision,
+        pretrained=args.pretrained or args.checkpoint,
+        init_params=not (args.pretrained or args.checkpoint),
+        scan_layers=False,  # unrolled layout: serving default, required for --int8
+    )
+    exported = export_model(
+        model, variables, batch_size=args.batch_size, int8=args.int8
+    )
+    save_exported(exported, args.output)
+    print(f"exported {args.model} -> {args.output} "
+          f"(int8={args.int8}, batch={args.batch_size or 'symbolic'})")
+    return args.output
+
+
+if __name__ == "__main__":
+    main()

@@ -53,11 +53,14 @@ def export_model(
     batch_size: Optional[int] = None,
     image_size: Optional[Tuple[int, int]] = None,
     context_length: Optional[int] = None,
+    int8: bool = False,
 ) -> ExportedModel:
     """Export the two encoders as StableHLO with params baked in.
 
     `batch_size=None` exports with a symbolic batch dimension (any batch at
     serve time); fixed sizes produce maximally-optimized programs.
+    `int8=True` exports W8A8-quantized encoders (ops/quant.py): int8 MXU
+    matmuls and ~4x smaller weight constants in the artifact.
     """
     from jax import export as jexport
 
@@ -81,21 +84,37 @@ def export_model(
     img_spec = jax.ShapeDtypeStruct((b,) + tuple(img_hw) + (3,), jnp.float32)
     tok_spec = jax.ShapeDtypeStruct((b, ctx), jnp.int32)
 
-    def enc_img(images):
-        out = model.apply(variables, images, None)
-        return out["image_features"]
+    scale = variables.get("params", {}).get("logit_scale")
 
-    def enc_txt(tokens):
-        out = model.apply(variables, None, tokens)
-        return out["text_features"]
+    if int8:
+        from .ops.quant import make_quantized_apply, quantize_dense_kernels
+
+        variables, qkernels = quantize_dense_kernels(variables)
+        qapply = make_quantized_apply(model)
+
+        def enc_img(images):
+            return qapply(variables, qkernels, images, None)["image_features"]
+
+        def enc_txt(tokens):
+            return qapply(variables, qkernels, None, tokens)["text_features"]
+
+    else:
+
+        def enc_img(images):
+            out = model.apply(variables, images, None)
+            return out["image_features"]
+
+        def enc_txt(tokens):
+            out = model.apply(variables, None, tokens)
+            return out["text_features"]
 
     exp_img = jexport.export(jax.jit(enc_img))(img_spec)
     exp_txt = jexport.export(jax.jit(enc_txt))(tok_spec)
 
-    scale = variables.get("params", {}).get("logit_scale")
     meta = {
         "image_size": list(img_hw),
         "context_length": int(ctx),
+        "int8": bool(int8),
         "logit_scale": float(np.exp(np.asarray(scale))) if scale is not None else 100.0,
     }
     return ExportedModel(exp_img, exp_txt, meta)

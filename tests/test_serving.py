@@ -33,6 +33,46 @@ def test_export_roundtrip(tmp_path):
     assert served.meta["context_length"] == 32
 
 
+def test_export_int8_roundtrip(tmp_path):
+    """W8A8 export: artifact reloads without model code and stays parallel
+    to the fp32 embeddings (ops/quant.py)."""
+    model, variables = create_model("ViT-B-32-mini", scan_layers=False, rng_seed=0)
+    exported = export_model(model, variables, batch_size=2, int8=True)
+    path = str(tmp_path / "model_int8.mrclip")
+    save_exported(exported, path)
+    served = load_exported(path)
+    assert served.meta["int8"] is True
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 64, 64, 3).astype(np.float32)
+    tokens = rng.randint(1, 49408, (2, 32)).astype(np.int32)
+    live = model.apply(variables, jnp.asarray(images), jnp.asarray(tokens))
+    for got, want in (
+        (served.encode_image(images), live["image_features"]),
+        (served.encode_text(tokens), live["text_features"]),
+    ):
+        a = np.asarray(got, np.float64)
+        b = np.asarray(want, np.float64)
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert cos.min() > 0.99
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """`python -m mrclip_tpu.export` (the --torchscript replacement) writes
+    an artifact the server loader accepts."""
+    from mrclip_tpu.export import main as export_main
+
+    out = str(tmp_path / "cli.mrclip")
+    export_main(["--model", "ViT-B-32-mini", "--output", out,
+                 "--batch-size", "2", "--int8"])
+    served = load_exported(out)
+    assert served.meta["int8"] is True
+    feats = served.encode_image(np.random.rand(2, 64, 64, 3).astype(np.float32))
+    assert np.asarray(feats).shape == (2, 64)
+
+
 def test_export_symbolic_batch(tmp_path):
     model, variables = create_model("ViT-B-32-mini")
     exported = export_model(model, variables, batch_size=None)
