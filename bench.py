@@ -152,7 +152,9 @@ def main():
         grad_checkpointing=args.remat,
         remat_policy=args.remat_policy,
         attn_impl=attn_impl,
-        scan_layers=False if args.no_scan else None,
+        # --int8 quantizes only 2D (unrolled) kernels; force the unrolled
+        # layout so deep models don't silently measure an unquantized stack.
+        scan_layers=False if (args.no_scan or args.int8) else None,
     )
 
     if args.infer:

@@ -16,8 +16,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
-if jax.default_backend() != "tpu":
-    jax.config.update("jax_platforms", "cpu")
+# Force CPU before any backend initializes: probing jax.default_backend()
+# first would cache the accelerator backend and make this a no-op (CLAUDE.md
+# gotcha — this example must never queue on the exclusive TPU chip).
+jax.config.update("jax_platforms", "cpu")
 
 from functools import partial
 

@@ -53,42 +53,106 @@ def _set(tree: dict, path, value) -> None:
     node[path[-1]] = value
 
 
-def _convert_tower_blocks(
-    sd: Dict[str, np.ndarray], prefix: str, out: dict, tower_path: tuple, scan_layers: bool
-) -> None:
-    """Convert `{prefix}transformer.resblocks.{i}.*` into our block layout."""
-    pat = re.compile(re.escape(prefix) + r"transformer\.resblocks\.(\d+)\.(.+)")
+def _group_layers(
+    sd: Dict[str, np.ndarray], pattern: str
+) -> Dict[int, Dict[str, np.ndarray]]:
+    pat = re.compile(pattern)
     per_layer: Dict[int, Dict[str, np.ndarray]] = {}
     for key, val in sd.items():
         m = pat.match(key)
         if m:
             per_layer.setdefault(int(m.group(1)), {})[m.group(2)] = val
+    return per_layer
+
+
+def _mlp_params(layer: Dict[str, np.ndarray]) -> dict:
+    return {
+        "c_fc": {"kernel": layer["mlp.c_fc.weight"].T, "bias": layer["mlp.c_fc.bias"]},
+        "c_proj": {"kernel": layer["mlp.c_proj.weight"].T, "bias": layer["mlp.c_proj.bias"]},
+    }
+
+
+def _split_qkv_attn(layer: Dict[str, np.ndarray], pfx: str = "attn.") -> dict:
+    """torch MHA -> separate q/k/v Dense params (our cross-attention layout).
+
+    Handles both torch storage modes: fused `in_proj_weight` (equal embed
+    dims) and separate `{q,k,v}_proj_weight` (kdim != embed_dim, e.g. the
+    CoCa AttentionalPooler with context_dim=width, d_model=output_dim).
+    """
+    if pfx + "in_proj_weight" in layer:
+        qw, kw, vw = np.split(layer[pfx + "in_proj_weight"], 3, axis=0)
+    else:
+        qw = layer[pfx + "q_proj_weight"]
+        kw = layer[pfx + "k_proj_weight"]
+        vw = layer[pfx + "v_proj_weight"]
+    qb, kb, vb = np.split(layer[pfx + "in_proj_bias"], 3)
+    return {
+        "q_proj": {"kernel": qw.T, "bias": qb},
+        "k_proj": {"kernel": kw.T, "bias": kb},
+        "v_proj": {"kernel": vw.T, "bias": vb},
+        "out_proj": {
+            "kernel": layer[pfx + "out_proj.weight"].T,
+            "bias": layer[pfx + "out_proj.bias"],
+        },
+    }
+
+
+def _self_block_params(layer: Dict[str, np.ndarray]) -> dict:
+    p: dict = {}
+    p["ln_1"] = {"scale": layer["ln_1.weight"], "bias": layer["ln_1.bias"]}
+    p["ln_2"] = {"scale": layer["ln_2.weight"], "bias": layer["ln_2.bias"]}
+    attn: dict = {}
+    if "attn.in_proj_weight" in layer:
+        attn["in_proj"] = {
+            "kernel": layer["attn.in_proj_weight"].T,
+            "bias": layer["attn.in_proj_bias"],
+        }
+    attn["out_proj"] = {
+        "kernel": layer["attn.out_proj.weight"].T,
+        "bias": layer["attn.out_proj.bias"],
+    }
+    p["attn"] = attn
+    p["mlp"] = _mlp_params(layer)
+    return p
+
+
+def _cross_block_params(layer: Dict[str, np.ndarray]) -> dict:
+    """Reference cross-attention block (transformer.py:227-262): ln_1 on the
+    queries, ln_1_kv on keys/values, cross MHA with separate projections."""
+    return {
+        "ln_1": {"scale": layer["ln_1.weight"], "bias": layer["ln_1.bias"]},
+        "ln_1_kv": {"scale": layer["ln_1_kv.weight"], "bias": layer["ln_1_kv.bias"]},
+        "ln_2": {"scale": layer["ln_2.weight"], "bias": layer["ln_2.bias"]},
+        "attn": _split_qkv_attn(layer),
+        "mlp": _mlp_params(layer),
+    }
+
+
+def _attn_pool_params(sd: Dict[str, np.ndarray], prefix: str) -> Optional[dict]:
+    """`{prefix}.{query,ln_q,ln_k,attn.*}` -> AttentionalPooler params."""
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    if not sub:
+        return None
+    return {
+        "query": sub["query"],
+        "ln_q": {"scale": sub["ln_q.weight"], "bias": sub["ln_q.bias"]},
+        "ln_k": {"scale": sub["ln_k.weight"], "bias": sub["ln_k.bias"]},
+        "attn": _split_qkv_attn(sub),
+    }
+
+
+def _convert_tower_blocks(
+    sd: Dict[str, np.ndarray], prefix: str, out: dict, tower_path: tuple, scan_layers: bool
+) -> None:
+    """Convert `{prefix}transformer.resblocks.{i}.*` into our block layout."""
+    per_layer = _group_layers(
+        sd, re.escape(prefix) + r"transformer\.resblocks\.(\d+)\.(.+)"
+    )
     if not per_layer:
         return
     n_layers = max(per_layer) + 1
 
-    def block_params(layer: Dict[str, np.ndarray]) -> dict:
-        p: dict = {}
-        p["ln_1"] = {"scale": layer["ln_1.weight"], "bias": layer["ln_1.bias"]}
-        p["ln_2"] = {"scale": layer["ln_2.weight"], "bias": layer["ln_2.bias"]}
-        attn: dict = {}
-        if "attn.in_proj_weight" in layer:
-            attn["in_proj"] = {
-                "kernel": layer["attn.in_proj_weight"].T,
-                "bias": layer["attn.in_proj_bias"],
-            }
-        attn["out_proj"] = {
-            "kernel": layer["attn.out_proj.weight"].T,
-            "bias": layer["attn.out_proj.bias"],
-        }
-        p["attn"] = attn
-        p["mlp"] = {
-            "c_fc": {"kernel": layer["mlp.c_fc.weight"].T, "bias": layer["mlp.c_fc.bias"]},
-            "c_proj": {"kernel": layer["mlp.c_proj.weight"].T, "bias": layer["mlp.c_proj.bias"]},
-        }
-        return p
-
-    blocks = [block_params(per_layer[i]) for i in range(n_layers)]
+    blocks = [_self_block_params(per_layer[i]) for i in range(n_layers)]
     if scan_layers:
         stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
         _set(out, tower_path + ("transformer", "blocks", "block"), stacked)
@@ -147,6 +211,10 @@ def import_torch_state_dict(
             vis["ln_post"] = {"scale": sd["visual.ln_post.weight"], "bias": sd["visual.ln_post.bias"]}
         if "visual.proj" in sd:
             vis["proj"] = sd["visual.proj"]
+        attn_pool = _attn_pool_params(sd, "visual.attn_pool.")
+        if attn_pool is not None:
+            # CoCa attentional pooling (reference transformer.py:521-529)
+            vis["attn_pool"] = attn_pool
         params["visual"] = vis
         _convert_tower_blocks(sd, "visual.", params, ("visual",), scan_layers)
 
@@ -156,7 +224,10 @@ def import_torch_state_dict(
         txt["token_embedding"] = {"embedding": sd["token_embedding.weight"]}
         tpos = sd["positional_embedding"]
         if context_length is not None:
-            tpos = resize_text_pos_embed(tpos, context_length)
+            # embed_cls towers (CoCa) carry one extra CLS position
+            # (reference transformer.py:715-719).
+            target = context_length + (1 if "cls_emb" in sd else 0)
+            tpos = resize_text_pos_embed(tpos, target)
         txt["positional_embedding"] = tpos
         txt["ln_final"] = {"scale": sd["ln_final.weight"], "bias": sd["ln_final.bias"]}
         if "text_projection" in sd:
@@ -173,6 +244,22 @@ def import_torch_state_dict(
             txt["cls_emb"] = sd["cls_emb"]
         params["text"] = txt
         _convert_tower_blocks(sd, "", params, ("text",), scan_layers)
+
+    # --- CoCa multimodal decoder (reference transformer.py:830-926) ---
+    if any(k.startswith("text_decoder.") for k in sd):
+        dec: dict = {}
+        self_layers = _group_layers(sd, r"text_decoder\.resblocks\.(\d+)\.(.+)")
+        for i, layer in self_layers.items():
+            dec[f"resblocks_{i}"] = _self_block_params(layer)
+        cross_layers = _group_layers(sd, r"text_decoder\.cross_attn\.(\d+)\.(.+)")
+        for i, layer in cross_layers.items():
+            dec[f"cross_attn_{i}"] = _cross_block_params(layer)
+        dec["ln_final"] = {
+            "scale": sd["text_decoder.ln_final.weight"],
+            "bias": sd["text_decoder.ln_final.bias"],
+        }
+        dec["text_projection"] = sd["text_decoder.text_projection"]
+        params["text_decoder"] = dec
 
     return jax.tree.map(jnp.asarray, params)
 

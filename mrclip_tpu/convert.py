@@ -155,7 +155,10 @@ def big_vision_npz_to_params(w: Mapping, *, scan_layers: bool = True, **_ignored
 def timm_vit_to_vision_params(
     sd: Mapping,
     *,
-    scan_layers: bool = False,
+    # default matches checkpoint.import_torch_state_dict so that
+    # load_torch_checkpoint returns the same tree layout for every
+    # checkpoint flavor when the caller does not pass scan_layers
+    scan_layers: bool = True,
     image_grid=None,
     include_head: bool = False,
     **_ignored,

@@ -262,9 +262,12 @@ def create_model(
                 cast, variables["params"]
             )
 
-    if variables is not None and cfg["text_cfg"].get("hf_model_name") and cfg[
-        "text_cfg"
-    ].get("hf_model_pretrained", True):
+    if variables is not None and not pretrained and cfg["text_cfg"].get(
+        "hf_model_name"
+    ) and cfg["text_cfg"].get("hf_model_pretrained", True):
+        # Skipped when a full `pretrained` checkpoint is given: that overlay
+        # replaces params/text/hf anyway — downloading the HF weights first
+        # would be pure waste.
         # HF text tower pretrained weights: overlay onto params/text/hf
         # (reference hf_model.py:117 loads inside the tower constructor; here
         # params are an explicit pytree so the overlay happens post-init).
@@ -311,29 +314,65 @@ def create_model(
                 )
             pretrained = download_pretrained(pcfg)
 
-        patch = cfg["vision_cfg"].get("patch_size")
-        grid = None
-        if patch is not None:
-            image_size = cfg["vision_cfg"]["image_size"]
-            if isinstance(image_size, int):
-                image_size = (image_size, image_size)
-            grid = (image_size[0] // patch, image_size[1] // patch)
-        loaded = load_torch_checkpoint(
-            pretrained,
-            scan_layers=scan_layers,
-            image_grid=grid,
-            context_length=cfg["text_cfg"].get("context_length"),
-        )
-        # Overlay loaded params onto the init template (keeps missing keys).
-        def overlay(template, new):
+        if os.path.isdir(pretrained):
+            # An orbax run directory (save_checkpoint layout): restore the
+            # saved train state and take its params subtree.
+            from .checkpoint import load_checkpoint as load_orbax
+
+            restored = load_orbax(pretrained)
+            loaded = restored.get("params", restored)
+        else:
+            patch = cfg["vision_cfg"].get("patch_size")
+            grid = None
+            if patch is not None:
+                image_size = cfg["vision_cfg"]["image_size"]
+                if isinstance(image_size, int):
+                    image_size = (image_size, image_size)
+                grid = (image_size[0] // patch, image_size[1] // patch)
+            loaded = load_torch_checkpoint(
+                pretrained,
+                scan_layers=scan_layers,
+                image_grid=grid,
+                context_length=cfg["text_cfg"].get("context_length"),
+            )
+
+        # Overlay loaded params onto the init template (keeps missing keys),
+        # reporting both directions of mismatch loudly: a tower left at
+        # random init or checkpoint weights with nowhere to go must never
+        # pass silently as "loaded pretrained weights".
+        kept_random, unconsumed = [], []
+
+        def overlay(template, new, path=""):
             if isinstance(template, dict):
+                if not isinstance(new, dict):
+                    kept_random.append(path or "<root>")
+                    return template
+                for k in new:
+                    if k not in template:
+                        unconsumed.append(f"{path}/{k}")
                 return {
-                    k: overlay(template[k], new[k]) if k in new else template[k]
+                    k: overlay(template[k], new[k], f"{path}/{k}")
+                    if k in new
+                    else (kept_random.append(f"{path}/{k}") or template[k])
                     for k in template
                 }
+            t_shape = getattr(template, "shape", None)
+            if t_shape is not None and tuple(getattr(new, "shape", ())) != tuple(t_shape):
+                kept_random.append(f"{path} (shape {getattr(new, 'shape', '?')} != {t_shape})")
+                return template
             return new
 
         variables["params"] = overlay(variables["params"], loaded)
+        for what, paths in (("randomly initialized (missing from checkpoint)",
+                             kept_random),
+                            ("in checkpoint but unused by this model",
+                             unconsumed)):
+            if paths:
+                shown = ", ".join(paths[:8]) + ("..." if len(paths) > 8 else "")
+                logging.warning(
+                    f"Pretrained overlay: {len(paths)} param subtree(s) "
+                    f"{what}: {shown}"
+                )
         logging.info(f"Loaded pretrained weights from {pretrained}")
 
     return model, variables

@@ -52,11 +52,20 @@ def _flax_module_class(hf_config):
     from transformers import FlaxAutoModel
 
     mapping = FlaxAutoModel._model_mapping
+    if getattr(hf_config, "is_encoder_decoder", False):
+        raise RuntimeError(
+            f"HF architecture '{hf_config.model_type}' is encoder-decoder; "
+            "its Flax module requires decoder inputs and is not usable as a "
+            "CLIP text tower here (the reference uses the encoder only for "
+            "t5 — not implemented on the TPU path)."
+        )
     if type(hf_config) not in mapping:
         raise RuntimeError(
             f"No Flax port for HF architecture '{hf_config.model_type}'. "
-            "HF text towers on the TPU path require an architecture with a "
-            "Flax implementation (bert, roberta, distilbert, electra, t5, ...)."
+            "HF text towers on the TPU path require an encoder architecture "
+            "with a Flax implementation (bert, roberta, distilbert, electra, "
+            "...). Encoder-decoder models (t5) are not supported: their Flax "
+            "modules require decoder inputs."
         )
     return mapping[type(hf_config)].module_class
 
@@ -68,7 +77,12 @@ def load_hf_pretrained_params(model_name: str) -> dict:
     """
     from transformers import FlaxAutoModel
 
-    res = FlaxAutoModel.from_pretrained(model_name, _do_init=False)
+    try:
+        res = FlaxAutoModel.from_pretrained(model_name, _do_init=False)
+    except (OSError, EnvironmentError):
+        # Most biomed hub repos (e.g. PubMedBERT) ship only PyTorch weights;
+        # convert on the fly rather than failing the flagship overlay.
+        res = FlaxAutoModel.from_pretrained(model_name, _do_init=False, from_pt=True)
     if isinstance(res, tuple):  # (_do_init=False) -> (model, params)
         _, params = res
     else:

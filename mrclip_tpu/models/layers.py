@@ -286,6 +286,7 @@ class AttentionalPooler(nn.Module):
         q = jnp.broadcast_to(query, (x.shape[0],) + query.shape).astype(self.dtype)
         x = LayerNorm(name="ln_k")(x)
         q = LayerNorm(name="ln_q")(q)
-        if self.d_model != x.shape[-1]:
-            x = nn.Dense(self.d_model, dtype=self.dtype, name="kv_proj")(x)
+        # k/v project straight from context_dim -> d_model inside the MHA
+        # (reference uses nn.MultiheadAttention(kdim=context_dim)); no extra
+        # bottleneck projection, so torch checkpoints map 1:1.
         return MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype, name="attn")(q, kv=x)

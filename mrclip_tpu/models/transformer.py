@@ -32,8 +32,11 @@ __all__ = ["ResidualAttentionBlock", "Transformer", "text_global_pool"]
 class ResidualAttentionBlock(nn.Module):
     """Pre-LN block: x += attn(ln_1(x)); x += mlp(ln_2(x)).
 
-    With `cross_attn=True` adds a cross-attention sublayer between self-attn
-    and MLP (the CoCa multimodal decoder block, reference :830-926).
+    With `cross_attn=True` the block is CROSS-ONLY, exactly the reference
+    `ResidualAttentionBlock(is_cross_attention=True)` (transformer.py:
+    210-262): queries are ln_1(x), keys/values are ln_1_kv(kv), then the
+    MLP — no self-attention sublayer (the CoCa decoder interleaves separate
+    causal self-attn and cross-attn blocks, reference :830-926).
     `is_causal` is a static field so XLA sees a fixed attention pattern.
     """
 
@@ -70,27 +73,33 @@ class ResidualAttentionBlock(nn.Module):
                 return lambda t: t
             return LayerScale(init_value=self.ls_init_value, name=name)
 
-        y = LayerNorm(name="ln_1")(x)
-        y = MultiHeadAttention(
-            num_heads=self.num_heads,
-            scaled_cosine=self.scaled_cosine,
-            scale_heads=self.scale_heads,
-            attn_impl=self.attn_impl,
-            dtype=self.dtype,
-            name="attn",
-        )(y, mask=mask, is_causal=self.is_causal)
-        # remat tag: the `mlp_only` policy saves this and recomputes the MLP
-        y = checkpoint_name(y, "attn_out")
-        x = x + maybe_ls("ls_1")(drop(y))
-
         if self.cross_attn:
+            # Cross-only block (reference transformer.py:227-262): q from
+            # ln_1(x), k/v from ln_1_kv(kv). No self-attention here — a
+            # causal-leak-free decoder comes from interleaving this with
+            # separate causal self-attn blocks.
             assert kv is not None, "cross_attn block requires kv"
-            y = LayerNorm(name="ln_1_kv")(x)
+            y = LayerNorm(name="ln_1")(x)
+            kv_n = LayerNorm(name="ln_1_kv")(kv)
             y = MultiHeadAttention(
                 num_heads=self.num_heads, attn_impl=self.attn_impl,
-                dtype=self.dtype, name="cross_attn",
-            )(y, kv=kv)
-            x = x + maybe_ls("ls_cross")(y)
+                dtype=self.dtype, name="attn",
+            )(y, kv=kv_n)
+            y = checkpoint_name(y, "attn_out")
+            x = x + maybe_ls("ls_1")(drop(y))
+        else:
+            y = LayerNorm(name="ln_1")(x)
+            y = MultiHeadAttention(
+                num_heads=self.num_heads,
+                scaled_cosine=self.scaled_cosine,
+                scale_heads=self.scale_heads,
+                attn_impl=self.attn_impl,
+                dtype=self.dtype,
+                name="attn",
+            )(y, mask=mask, is_causal=self.is_causal)
+            # remat tag: `mlp_only` policy saves this and recomputes the MLP
+            y = checkpoint_name(y, "attn_out")
+            x = x + maybe_ls("ls_1")(drop(y))
 
         y = LayerNorm(name="ln_2")(x)
         y = MLP(width=width, hidden=int(width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(y)

@@ -167,18 +167,19 @@ class VisionTransformer(nn.Module):
             return t, t
 
         if self.attentional_pool:
-            # 'parallel'-style attn pooling with a single pooler module
-            # (reference :509-529 supports parallel/cascade; single pooler with
-            # n_queries=1 used for the contrastive branch when configured).
+            # Original OpenCLIP CoCa pooling (reference :521-529, :628-645):
+            # pool into output_dim-sized queries, ln_post over output_dim,
+            # then tok-pool -> (pooled=x[:,0], tokens=x[:,1:]) and a
+            # [output_dim, output_dim] proj — matches torch checkpoints.
             x = AttentionalPooler(
-                d_model=self.width,
+                d_model=self.output_dim if self.output_dim is not None else self.width,
                 num_heads=self.attn_pooler_heads,
                 n_queries=self.attn_pooler_queries,
                 dtype=self.dtype,
                 name="attn_pool",
             )(x)
             x = LayerNorm(name="ln_post")(x)
-            pooled, tokens = x[:, 0], x
+            pooled, tokens = x[:, 0], x[:, 1:]
         elif self.final_ln_after_pool:
             pooled, tokens = global_pool(x)
             pooled = LayerNorm(name="ln_post")(pooled)
@@ -187,10 +188,12 @@ class VisionTransformer(nn.Module):
             pooled, tokens = global_pool(x)
 
         if self.output_dim is not None:
+            # pool_dim: output_dim after attentional pooling (ref :536-541)
+            pool_dim = self.output_dim if self.attentional_pool else self.width
             proj = self.param(
                 "proj",
                 nn.initializers.normal(stddev=self.width**-0.5),
-                (self.width, self.output_dim),
+                (pool_dim, self.output_dim),
             )
             pooled = pooled @ proj.astype(pooled.dtype)
 

@@ -91,8 +91,17 @@ def flash_attention_unpadded(
         )
         segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
 
-    blk_q = min(256, np_q)
-    blk_k = min(256, np_k)
+    # Largest multiple of 128 that DIVIDES the padded length: the kernel
+    # requires seq_len % block == 0, so min(256, np) breaks at e.g. 384
+    # (ViT-L-14's 257 tokens pad to 384) or 640 (ViT-L-14-336).
+    def pick_block(n):
+        for cand in (256, 128):
+            if n % cand == 0:
+                return cand
+        return n  # n < 128: single block
+
+    blk_q = pick_block(np_q)
+    blk_k = pick_block(np_k)
     block_sizes = BlockSizes(
         block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
         block_q_major_dkv=blk_q, block_k_major_dkv=blk_k,

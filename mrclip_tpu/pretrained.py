@@ -27,8 +27,6 @@ from .constants import (
     HF_WEIGHTS_NAME,
     IMAGENET_MEAN,
     IMAGENET_STD,
-    INCEPTION_MEAN,
-    INCEPTION_STD,
     OPENAI_DATASET_MEAN,
     OPENAI_DATASET_STD,
 )
@@ -54,11 +52,6 @@ def _pcfg(url: str = "", hf_hub: str = "", sha256: str = "", **kwargs) -> dict:
 
 def _apcfg(**kwargs) -> dict:  # OpenAI/LAION default preprocessing
     return _pcfg(mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD, **kwargs)
-
-
-def _slpcfg(**kwargs) -> dict:  # SigLIP (webli) preprocessing
-    return _pcfg(mean=INCEPTION_MEAN, std=INCEPTION_STD, interpolation="bicubic",
-                 resize_mode="squash", **kwargs)
 
 
 _OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models"
@@ -197,9 +190,10 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "dfn5b": _apcfg(hf_hub="apple/DFN5B-CLIP-ViT-H-14/", quick_gelu=True),
     },
-    "ViT-B-16-SigLIP": {
-        "webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP/"),
-    },
+    # NOTE: no webli SigLIP tags: the released SigLIP checkpoints use a
+    # timm-trunk layout + sentencepiece text stack that this importer does
+    # not map; the ViT-B-16-SigLIP config here is the MR-CLIP-style
+    # sigmoid-loss training config, not the webli architecture.
     "coca_ViT-B-32": {
         "laion2b_s13b_b90k": _apcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
         "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(

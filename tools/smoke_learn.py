@@ -3,6 +3,9 @@
 Images carry a label-dependent visual pattern and captions name the label;
 after a few epochs of multipositive training, same-label retrieval R@1 must
 beat the random baseline. Run: python tools/smoke_learn.py
+Extra CLI flags are forwarded to the trainer, so perf configs can be
+learnability-checked too, e.g.:
+    python tools/smoke_learn.py --precision bf16 --attn-impl bf16
 """
 import csv, os, sys, tempfile
 import numpy as np
@@ -52,7 +55,7 @@ def main():
         "--workers", "2", "--logs", os.path.join(d, "logs"),
         "--name", "learn", "--log-every-n-steps", "3",
         "--val-frequency", "150", "--save-frequency", "0",
-    ])
+    ] + sys.argv[1:])
     # re-evaluate explicitly for the final number
     import logging
     results_path = os.path.join(d, "logs", "learn", "checkpoints", "results.jsonl")
