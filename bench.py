@@ -82,13 +82,19 @@ def main():
     parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
     parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
     parser.add_argument(
-        "--attn-impl", type=str, default="xla",
+        "--attn-impl", type=str, default="bf16",
         choices=["xla", "manual", "bf16", "flash"],
-        help="attention kernel: xla (GSPMD-shardable default), manual/bf16 "
-        "(explicit score-tensor dtype control), or flash "
-        "(Pallas fused kernel, no HBM score matrix; single TPU chip)",
+        help="attention kernel. Default bf16: score/prob tensors stored in "
+        "the compute dtype (halves attention HBM traffic; measured +9%% at "
+        "b80, learnability-validated). xla = fp32 scores "
+        "(strict-parity numerics), flash = Pallas fused kernel "
+        "(no HBM score matrix; long-seq configs)",
     )
-    parser.add_argument("--bf16-moments", action="store_true", help="store Adam mu in bf16")
+    parser.add_argument(
+        "--bf16-moments", action=argparse.BooleanOptionalAction, default=True,
+        help="store Adam mu in bf16 (default on: halves mu memory, "
+        "measured-neutral-to-positive throughput)",
+    )
     parser.add_argument(
         "--fp32-images", action="store_true",
         help="feed pre-normalized fp32 images (legacy); default feeds uint8 "
