@@ -63,6 +63,37 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
 
         return jax.tree.map(lambda x: x[i], tree)
 
+    def put_split_attn(prefix, attn):
+        """Separate q/k/v Dense params -> torch MHA storage (fused
+        in_proj when embed dims match, else q/k/v_proj_weight — the exact
+        inverse of checkpoint._split_qkv_attn)."""
+        qk = np.asarray(attn["q_proj"]["kernel"]).T
+        kk = np.asarray(attn["k_proj"]["kernel"]).T
+        vk = np.asarray(attn["v_proj"]["kernel"]).T
+        if qk.shape[1] == kk.shape[1] == vk.shape[1]:
+            put(prefix + "in_proj_weight", np.concatenate([qk, kk, vk], axis=0))
+        else:
+            put(prefix + "q_proj_weight", qk)
+            put(prefix + "k_proj_weight", kk)
+            put(prefix + "v_proj_weight", vk)
+        put(prefix + "in_proj_bias", np.concatenate([
+            np.asarray(attn["q_proj"]["bias"]),
+            np.asarray(attn["k_proj"]["bias"]),
+            np.asarray(attn["v_proj"]["bias"]),
+        ]))
+        put(prefix + "out_proj.weight", np.asarray(attn["out_proj"]["kernel"]).T)
+        put(prefix + "out_proj.bias", attn["out_proj"]["bias"])
+
+    def put_ln(key, ln):
+        put(key + ".weight", ln["scale"])
+        put(key + ".bias", ln["bias"])
+
+    def put_mlp(prefix, mlp):
+        put(prefix + "c_fc.weight", np.asarray(mlp["c_fc"]["kernel"]).T)
+        put(prefix + "c_fc.bias", mlp["c_fc"]["bias"])
+        put(prefix + "c_proj.weight", np.asarray(mlp["c_proj"]["kernel"]).T)
+        put(prefix + "c_proj.bias", mlp["c_proj"]["bias"])
+
     if "visual" in params:
         vis = params["visual"]
         put("visual.conv1.weight", np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1))
@@ -76,6 +107,12 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
             put("visual.ln_post.bias", vis["ln_post"]["bias"])
         if "proj" in vis:
             put("visual.proj", vis["proj"])
+        if "attn_pool" in vis:
+            pool = vis["attn_pool"]
+            put("visual.attn_pool.query", pool["query"])
+            put_ln("visual.attn_pool.ln_q", pool["ln_q"])
+            put_ln("visual.attn_pool.ln_k", pool["ln_k"])
+            put_split_attn("visual.attn_pool.attn.", pool["attn"])
         export_blocks(vis, "visual.")
 
     if "text" in params:
@@ -91,7 +128,43 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
                 put("text_projection.bias", tp["bias"])
             else:
                 put("text_projection", tp)
+        if "cls_emb" in txt:
+            put("cls_emb", txt["cls_emb"])
         export_blocks(txt, "")
+
+    if "text_decoder" in params:
+        # CoCa multimodal decoder (inverse of the checkpoint.py importer)
+        dec = params["text_decoder"]
+        self_keys = sorted(
+            (k for k in dec if k.startswith("resblocks_")),
+            key=lambda k: int(k.split("_")[-1]),
+        )
+        for k in self_keys:
+            i = int(k.split("_")[-1])
+            blk = dec[k]
+            bp = f"text_decoder.resblocks.{i}."
+            put_ln(bp + "ln_1", blk["ln_1"])
+            put_ln(bp + "ln_2", blk["ln_2"])
+            put(bp + "attn.in_proj_weight", np.asarray(blk["attn"]["in_proj"]["kernel"]).T)
+            put(bp + "attn.in_proj_bias", blk["attn"]["in_proj"]["bias"])
+            put(bp + "attn.out_proj.weight", np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
+            put(bp + "attn.out_proj.bias", blk["attn"]["out_proj"]["bias"])
+            put_mlp(bp + "mlp.", blk["mlp"])
+        cross_keys = sorted(
+            (k for k in dec if k.startswith("cross_attn_")),
+            key=lambda k: int(k.split("_")[-1]),
+        )
+        for k in cross_keys:
+            i = int(k.split("_")[-1])
+            blk = dec[k]
+            bp = f"text_decoder.cross_attn.{i}."
+            put_ln(bp + "ln_1", blk["ln_1"])
+            put_ln(bp + "ln_1_kv", blk["ln_1_kv"])
+            put_ln(bp + "ln_2", blk["ln_2"])
+            put_split_attn(bp + "attn.", blk["attn"])
+            put_mlp(bp + "mlp.", blk["mlp"])
+        put_ln("text_decoder.ln_final", dec["ln_final"])
+        put("text_decoder.text_projection", dec["text_projection"])
 
     if "logit_scale" in params:
         put("logit_scale", np.asarray(params["logit_scale"]).reshape(()))

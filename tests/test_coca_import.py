@@ -182,6 +182,35 @@ def test_full_coca_checkpoint_roundtrip(tmp_path, caplog):
         assert np.isfinite(np.asarray(out[key])).all(), key
 
 
+def test_coca_export_import_roundtrip(tmp_path, caplog):
+    """hub.export_torch_state_dict(CoCa) -> torch file -> create_model
+    reproduces every param leaf exactly (two-way converter consistency)."""
+    import jax
+
+    from mrclip_tpu.factory import create_model
+    from mrclip_tpu.hub import export_torch_state_dict
+
+    model, variables = create_model("coca-mini", rng_seed=3)
+    sd = export_torch_state_dict(variables["params"])
+    path = str(tmp_path / "roundtrip.pt")
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, path)
+
+    with caplog.at_level(logging.WARNING):
+        _, variables2 = create_model("coca-mini", pretrained=path, rng_seed=7)
+    overlay_warnings = [r for r in caplog.records if "Pretrained overlay" in r.message]
+    assert not overlay_warnings, [r.message for r in overlay_warnings]
+
+    flat1 = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(variables2["params"])[0]
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(flat1, flat2):
+        assert p1 == p2
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+            err_msg=jax.tree_util.keystr(p1),
+        )
+
+
 def test_import_shape_mismatch_is_loud(tmp_path, caplog):
     """A wrong-shaped checkpoint leaf must keep the template param and warn,
     never silently corrupt the tree."""
