@@ -113,19 +113,28 @@ def _self_block_params(layer: Dict[str, np.ndarray]) -> dict:
     }
     p["attn"] = attn
     p["mlp"] = _mlp_params(layer)
+    _add_layerscale(p, layer)
     return p
+
+
+def _add_layerscale(p: dict, layer: Dict[str, np.ndarray]) -> None:
+    for ls in ("ls_1", "ls_2"):
+        if f"{ls}.gamma" in layer:
+            p[ls] = {"gamma": layer[f"{ls}.gamma"]}
 
 
 def _cross_block_params(layer: Dict[str, np.ndarray]) -> dict:
     """Reference cross-attention block (transformer.py:227-262): ln_1 on the
     queries, ln_1_kv on keys/values, cross MHA with separate projections."""
-    return {
+    p = {
         "ln_1": {"scale": layer["ln_1.weight"], "bias": layer["ln_1.bias"]},
         "ln_1_kv": {"scale": layer["ln_1_kv.weight"], "bias": layer["ln_1_kv.bias"]},
         "ln_2": {"scale": layer["ln_2.weight"], "bias": layer["ln_2.bias"]},
         "attn": _split_qkv_attn(layer),
         "mlp": _mlp_params(layer),
     }
+    _add_layerscale(p, layer)
+    return p
 
 
 def _attn_pool_params(sd: Dict[str, np.ndarray], prefix: str) -> Optional[dict]:

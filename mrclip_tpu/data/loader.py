@@ -97,7 +97,44 @@ class DataLoader:
 
     def __iter__(self):
         if self.iterable:
-            yield from self._iter_iterable()
+            # Same producer-thread + bounded-queue + stop/drain pattern as
+            # the random-access path below, so streaming tar decode overlaps
+            # the consumer's device compute instead of blocking __next__.
+            q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+            stop = threading.Event()
+
+            def producer():
+                try:
+                    for batch in self._iter_iterable():
+                        while not stop.is_set():
+                            try:
+                                q.put(batch, timeout=0.2)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                    q.put(None)
+                except BaseException as e:  # noqa: BLE001 - re-raise in consumer
+                    q.put(e)
+
+            thread = threading.Thread(target=producer, daemon=True)
+            thread.start()
+            try:
+                while True:
+                    batch = q.get()
+                    if batch is None:
+                        break
+                    if isinstance(batch, BaseException):
+                        raise batch
+                    yield batch
+            finally:
+                stop.set()
+                while thread.is_alive():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        thread.join(timeout=0.05)
             return
         batches = self._batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)

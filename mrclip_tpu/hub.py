@@ -52,6 +52,7 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
             put(bp + "mlp.c_fc.bias", blk["mlp"]["c_fc"]["bias"])
             put(bp + "mlp.c_proj.weight", np.asarray(blk["mlp"]["c_proj"]["kernel"]).T)
             put(bp + "mlp.c_proj.bias", blk["mlp"]["c_proj"]["bias"])
+            put_layerscale(bp, blk)
 
     def iter_leaves(tree):
         import jax
@@ -94,6 +95,11 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
         put(prefix + "c_proj.weight", np.asarray(mlp["c_proj"]["kernel"]).T)
         put(prefix + "c_proj.bias", mlp["c_proj"]["bias"])
 
+    def put_layerscale(prefix, blk):
+        for ls in ("ls_1", "ls_2"):
+            if ls in blk:
+                put(prefix + f"{ls}.gamma", blk[ls]["gamma"])
+
     if "visual" in params:
         vis = params["visual"]
         put("visual.conv1.weight", np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1))
@@ -117,20 +123,25 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
 
     if "text" in params:
         txt = params["text"]
-        put("token_embedding.weight", txt["token_embedding"]["embedding"])
-        put("positional_embedding", txt["positional_embedding"])
-        put("ln_final.weight", txt["ln_final"]["scale"])
-        put("ln_final.bias", txt["ln_final"]["bias"])
+        # CoCa checkpoints use the CustomTextCLIP layout (text.* prefix, the
+        # layout reference open_clip saves and loads for CoCa — its
+        # convert_to_custom_text remap does not cover cls_emb at the root);
+        # plain CLIP exports keep the inlined layout.
+        pre = "text." if "text_decoder" in params else ""
+        put(pre + "token_embedding.weight", txt["token_embedding"]["embedding"])
+        put(pre + "positional_embedding", txt["positional_embedding"])
+        put(pre + "ln_final.weight", txt["ln_final"]["scale"])
+        put(pre + "ln_final.bias", txt["ln_final"]["bias"])
         if "text_projection" in txt:
             tp = txt["text_projection"]
             if isinstance(tp, dict):
-                put("text_projection.weight", np.asarray(tp["kernel"]).T)
-                put("text_projection.bias", tp["bias"])
+                put(pre + "text_projection.weight", np.asarray(tp["kernel"]).T)
+                put(pre + "text_projection.bias", tp["bias"])
             else:
-                put("text_projection", tp)
+                put(pre + "text_projection", tp)
         if "cls_emb" in txt:
-            put("cls_emb", txt["cls_emb"])
-        export_blocks(txt, "")
+            put(pre + "cls_emb", txt["cls_emb"])
+        export_blocks(txt, pre)
 
     if "text_decoder" in params:
         # CoCa multimodal decoder (inverse of the checkpoint.py importer)
@@ -150,6 +161,7 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
             put(bp + "attn.out_proj.weight", np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
             put(bp + "attn.out_proj.bias", blk["attn"]["out_proj"]["bias"])
             put_mlp(bp + "mlp.", blk["mlp"])
+            put_layerscale(bp, blk)
         cross_keys = sorted(
             (k for k in dec if k.startswith("cross_attn_")),
             key=lambda k: int(k.split("_")[-1]),
@@ -163,6 +175,7 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
             put_ln(bp + "ln_2", blk["ln_2"])
             put_split_attn(bp + "attn.", blk["attn"])
             put_mlp(bp + "mlp.", blk["mlp"])
+            put_layerscale(bp, blk)
         put_ln("text_decoder.ln_final", dec["ln_final"])
         put("text_decoder.text_projection", dec["text_projection"])
 

@@ -97,36 +97,6 @@ def _to_device(batch: dict, mesh, args) -> dict:
     return jax.tree.map(jnp.asarray, batch)
 
 
-def _prefetch(loader, depth: int):
-    """Pull batches on a background thread into a bounded queue so host
-    decode/augment overlaps device compute (JAX dispatch is async, but
-    `loader.__next__` otherwise blocks the step loop). Order-preserving,
-    so determinism is unaffected; exceptions re-raise at the call site."""
-    if depth <= 0:
-        yield from loader
-        return
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    sentinel = object()
-
-    def worker():
-        try:
-            for item in loader:
-                q.put(item)
-            q.put(sentinel)
-        except BaseException as e:  # noqa: BLE001 - propagate to consumer
-            q.put(e)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
 
 
 def train_one_epoch(
@@ -154,7 +124,7 @@ def train_one_epoch(
     prev_metrics = None
     world_size = getattr(args, "world_size", 1)
     profile_dir = getattr(args, "profile_dir", None)
-    for i, batch in enumerate(_prefetch(loader, getattr(args, "prefetch", 2))):
+    for i, batch in enumerate(loader):
         # Timeline tracing (the reference has none, SURVEY.md §5): capture a
         # 5-step window of epoch 0 for xprof/tensorboard.
         if profile_dir and epoch == 0:

@@ -198,9 +198,6 @@ def parse_args(args=None) -> argparse.Namespace:
                    help="Unique3DSampler instead of UniqueLabelSampler")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace window to this dir")
-    p.add_argument("--prefetch", type=int, default=2,
-                   help="batches prefetched on a background thread so host "
-                   "decode overlaps device compute (0 disables)")
     p.add_argument("--pallas-loss", default=False, action="store_true",
                    help="fused Pallas multipositive loss kernel (logit tiles stay in VMEM)")
     p.add_argument("--chunked-loss", default=False, action="store_true",

@@ -211,6 +211,53 @@ def test_coca_export_import_roundtrip(tmp_path, caplog):
         )
 
 
+def test_coca_export_import_roundtrip_layerscale(tmp_path, caplog):
+    """Same round trip with ls_init_value set: LayerScale gammas must
+    survive export -> import (they are easy to silently drop)."""
+    import json
+    import os
+
+    import jax
+
+    import mrclip_tpu
+    from mrclip_tpu.factory import create_model
+    from mrclip_tpu.hub import export_torch_state_dict
+
+    cfg_path = os.path.join(
+        os.path.dirname(mrclip_tpu.__file__), "model_configs", "coca-mini.json"
+    )
+    cfg = json.load(open(cfg_path))
+    for sub in ("vision_cfg", "text_cfg", "multimodal_cfg"):
+        cfg[sub]["ls_init_value"] = 0.1
+
+    model, variables = create_model(
+        "coca-mini", rng_seed=2,
+        vision_cfg=cfg["vision_cfg"], text_cfg=cfg["text_cfg"],
+        multimodal_cfg=cfg["multimodal_cfg"],
+    )
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    assert any("ls_1" in jax.tree_util.keystr(p) for p, _ in flat), "no LayerScale built"
+
+    sd = export_torch_state_dict(variables["params"])
+    assert any(k.endswith("ls_1.gamma") for k in sd), "export dropped LayerScale"
+    path = str(tmp_path / "ls.pt")
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, path)
+
+    with caplog.at_level(logging.WARNING):
+        _, variables2 = create_model(
+            "coca-mini", pretrained=path, rng_seed=9,
+            vision_cfg=cfg["vision_cfg"], text_cfg=cfg["text_cfg"],
+            multimodal_cfg=cfg["multimodal_cfg"],
+        )
+    overlay_warnings = [r for r in caplog.records if "Pretrained overlay" in r.message]
+    assert not overlay_warnings, [r.message for r in overlay_warnings]
+    flat2 = jax.tree_util.tree_flatten_with_path(variables2["params"])[0]
+    for (p1, a), (p2, b) in zip(flat, flat2):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))
+
+
 def test_import_shape_mismatch_is_loud(tmp_path, caplog):
     """A wrong-shaped checkpoint leaf must keep the template param and warn,
     never silently corrupt the tree."""
