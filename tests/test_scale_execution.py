@@ -111,6 +111,32 @@ def test_second_step_decreases_loss_at_scale():
     assert losses[1] < losses[0], f"no progress: {losses}"
 
 
+def test_attn_bf16_executes_on_mesh():
+    """The production-default bf16-score attention (bench default) must
+    shard under dp/fsdp/tp GSPMD like the xla path: one executed step,
+    finite loss, and fp32-precision equality with attn_impl='xla' (in fp32
+    the score dtype is identical, so the einsum formulation itself is what
+    is being validated under the mesh)."""
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+    batch_np = _batch(256, seed=3)
+    tx = create_optimizer(lr=1e-3, wd=0.1)
+
+    losses = {}
+    for impl in ("xla", "bf16"):
+        model, variables = create_model(
+            "ViT-B-32-mini", precision="fp32", attn_impl=impl, rng_seed=0
+        )
+        state = create_train_state(variables, tx, mesh)
+        step = build_train_step(
+            model, make_loss_apply(create_loss(Args()), mesh), tx, mesh, donate=False
+        )
+        batch = local_batch_to_global(mesh, batch_np)
+        _, metrics = step(state, batch, jax.random.key(4))
+        losses[impl] = float(metrics["loss"])
+    assert np.isfinite(losses["bf16"])
+    assert abs(losses["bf16"] - losses["xla"]) < 1e-5, losses
+
+
 def test_cached_feature_accum_executes_on_mesh():
     """The reference's cached-feature gradient accumulation (train.py:134-183)
     executes under the GSPMD mesh: 4 microbatches of 128 = 512 accumulated."""
