@@ -60,15 +60,23 @@ def _quantize_kernel(kernel: jax.Array) -> Dict[str, jax.Array]:
     return {"q": q, "s": scale}
 
 
+def _quantize_embedding(table: jax.Array) -> Dict[str, jax.Array]:
+    """Per-row symmetric int8 for an [vocab, dim] embedding table."""
+    t = jnp.asarray(table, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-8) / 127.0  # [vocab]
+    q = jnp.clip(jnp.round(t / scale[:, None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale}
+
+
 def quantize_dense_kernels(
     variables: dict, *, min_elems: int = 1 << 12
 ) -> Tuple[dict, QKernels]:
-    """Quantize every 2D Dense kernel in `variables["params"]`.
+    """Quantize every 2D Dense kernel and Embed table in `variables["params"]`.
 
-    Returns `(variables_without_those_kernels, qkernels)`. The stripped
+    Returns `(variables_without_those_leaves, qkernels)`. The stripped
     tree stays valid for `model.apply` because the interceptor bypasses the
-    quantized Dense bodies entirely (their `self.param("kernel")` is never
-    read). Kernels smaller than `min_elems` stay fp — the rescale overhead
+    quantized module bodies entirely (their `self.param(...)` is never
+    read). Leaves smaller than `min_elems` stay fp — the rescale overhead
     would dominate.
     """
     qkernels: QKernels = {}
@@ -85,6 +93,20 @@ def quantize_dense_kernels(
                     qkernels[path + (name,)] = _quantize_kernel(sub["kernel"])
                     rest = {k: v for k, v in sub.items() if k != "kernel"}
                     out[name] = walk(rest, path + (name,))
+                elif (
+                    "embedding" in sub
+                    and getattr(sub["embedding"], "ndim", 0) == 2
+                    and sub["embedding"].size >= min_elems
+                ):
+                    # nn.Embed table: int8 rows, dequantized at the gather
+                    # (pure weight compression — there is no matmul to win).
+                    # Unlike Dense (@nn.compact), Embed declares its param in
+                    # setup(), which runs before the intercepted __call__ —
+                    # so the int8 table REPLACES the leaf in-place and only
+                    # the per-row scales live in the side table.
+                    ent = _quantize_embedding(sub["embedding"])
+                    qkernels[path + (name,)] = {"s": ent["s"]}
+                    out[name] = dict(sub, embedding=ent["q"])
                 else:
                     out[name] = walk(sub, path + (name,))
             else:
@@ -134,12 +156,10 @@ def make_quantized_apply(model):
     ):
         def interceptor(next_fun, args, kwargs, context):
             mod = context.module
-            if (
-                isinstance(mod, nn.Dense)
-                and context.method_name == "__call__"
-                and mod.path in qkernels
-            ):
-                ent = qkernels[mod.path]
+            if context.method_name != "__call__" or mod.path not in qkernels:
+                return next_fun(*args, **kwargs)
+            ent = qkernels[mod.path]
+            if isinstance(mod, nn.Dense):
                 out_dtype = mod.dtype if mod.dtype is not None else jnp.float32
                 y = int8_matmul(args[0], ent["q"], ent["s"], out_dtype=out_dtype)
                 if mod.use_bias:
@@ -148,6 +168,11 @@ def make_quantized_apply(model):
                     )
                     y = y + jnp.asarray(bias, out_dtype)
                 return y
+            if isinstance(mod, nn.Embed):
+                ids = args[0]
+                out_dtype = mod.dtype if mod.dtype is not None else jnp.float32
+                rows = jnp.take(mod.embedding, ids, axis=0).astype(jnp.float32)
+                return (rows * ent["s"][ids][..., None]).astype(out_dtype)
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(interceptor):

@@ -37,14 +37,20 @@ def test_quantize_strips_kernels_and_keeps_structure():
     model, variables = create_model("ViT-B-32-mini", scan_layers=False, rng_seed=0)
     stripped, qkernels = quantize_dense_kernels(variables)
     assert len(qkernels) > 10  # attn in/out proj + mlp of every block
+    embeds = 0
     for path, ent in qkernels.items():
-        assert ent["q"].dtype == jnp.int8
-        assert ent["s"].shape == (ent["q"].shape[1],)
-        # the stripped tree no longer holds this kernel
         node = stripped["params"]
         for name in path:
             node = node[name]
-        assert "kernel" not in node
+        if "q" in ent:  # Dense kernel: stripped from the tree
+            assert ent["q"].dtype == jnp.int8
+            assert ent["s"].shape == (ent["q"].shape[1],)
+            assert "kernel" not in node
+        else:  # Embed table: int8 leaf replaced in place, per-row scales
+            embeds += 1
+            assert node["embedding"].dtype == jnp.int8
+            assert ent["s"].shape == (node["embedding"].shape[0],)
+    assert embeds >= 1  # token_embedding quantized too
 
 
 def test_quantized_model_matches_fp32_embeddings():

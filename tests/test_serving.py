@@ -59,6 +59,20 @@ def test_export_int8_roundtrip(tmp_path):
         assert cos.min() > 0.99
 
 
+def test_export_int8_artifact_smaller(tmp_path):
+    """The int8 artifact must actually be much smaller than the fp32 one
+    (weights dominate; int8 + per-channel scales ~ 1/4 the bytes)."""
+    import os
+
+    model, variables = create_model("ViT-B-32-mini", scan_layers=False, rng_seed=0)
+    p32 = str(tmp_path / "fp32.mrclip")
+    p8 = str(tmp_path / "int8.mrclip")
+    save_exported(export_model(model, variables, batch_size=2), p32)
+    save_exported(export_model(model, variables, batch_size=2, int8=True), p8)
+    ratio = os.path.getsize(p8) / os.path.getsize(p32)
+    assert ratio < 0.45, f"int8 artifact only {ratio:.2f}x of fp32"
+
+
 def test_export_cli_roundtrip(tmp_path):
     """`python -m mrclip_tpu.export` (the --torchscript replacement) writes
     an artifact the server loader accepts."""
