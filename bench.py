@@ -147,7 +147,9 @@ def main():
         steps = min(args.steps, 5)
     else:
         model_name = args.model or "ViT-B-16"
-        batch = args.batch_size or 80
+        # b88 measured reproducibly best (791 vs 787 at b80) under the
+        # attn-bf16 + bf16-mu defaults; the b80-96 peak is flat.
+        batch = args.batch_size or 88
         img_size, ctx = 224, 98
         steps = args.steps
 
