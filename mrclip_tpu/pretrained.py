@@ -190,6 +190,17 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "dfn5b": _apcfg(hf_hub="apple/DFN5B-CLIP-ViT-H-14/", quick_gelu=True),
     },
+    "ViT-g-14": {
+        "laion2b_s12b_b42k": _apcfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s12B-b42K/"),
+        "laion2b_s34b_b88k": _apcfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s34B-b88K/"),
+    },
+    "ViT-bigG-14": {
+        "laion2b_s39b_b160k": _apcfg(hf_hub="laion/CLIP-ViT-bigG-14-laion2B-39B-b160k/"),
+        "metaclip_fullcc": _apcfg(
+            url="https://dl.fbaipublicfiles.com/MMPT/metaclip/G14_fullcc2.5b.pt",
+            quick_gelu=True,
+        ),
+    },
     # NOTE: no webli SigLIP tags: the released SigLIP checkpoints use a
     # timm-trunk layout + sentencepiece text stack that this importer does
     # not map; the ViT-B-16-SigLIP config here is the MR-CLIP-style
