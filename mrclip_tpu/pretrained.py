@@ -190,6 +190,11 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "dfn5b": _apcfg(hf_hub="apple/DFN5B-CLIP-ViT-H-14/", quick_gelu=True),
     },
+    "roberta-ViT-B-32": {
+        "laion2b_s12b_b32k": _apcfg(
+            hf_hub="laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k/"
+        ),
+    },
     "ViT-g-14": {
         "laion2b_s12b_b42k": _apcfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s12B-b42K/"),
         "laion2b_s34b_b88k": _apcfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s34B-b88K/"),
