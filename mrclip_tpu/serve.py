@@ -5,6 +5,12 @@ Production-serving counterpart to `serving.py`: loads a `.mrclip` artifact
 image<->text scores. Stdlib-only (http.server), thread-per-request; the
 compiled encoders are thread-safe jax calls.
 
+Concurrent requests are DYNAMICALLY BATCHED per endpoint: a worker thread
+coalesces requests that arrive within `--batch-window-ms` (default 5) up to
+`--max-batch` (default 32) into one device call — with the symbolic-batch
+export, one compiled program serves every coalesced size. Set
+`--max-batch 1` to disable.
+
 Run: `python -m mrclip_tpu.serve --model model.mrclip --port 8080`
 
 API:
@@ -18,7 +24,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import queue
 import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -29,10 +38,94 @@ from .tokenizer import SimpleTokenizer
 __all__ = ["make_server", "main"]
 
 
-def make_server(artifact_path: str, host: str = "0.0.0.0", port: int = 8080):
+class _Batcher:
+    """Coalesce concurrent requests into one batched device call.
+
+    Requests arriving within `window_s` of the first pending one are
+    concatenated along axis 0 (up to `max_batch` rows) and answered from a
+    single `fn` call. A dedicated worker thread per endpoint serializes
+    device access, so no extra lock is needed.
+    """
+
+    def __init__(self, fn, max_batch: int = 32, window_s: float = 0.005):
+        self.fn = fn
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self.q: "queue.Queue" = queue.Queue()
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        fut: Future = Future()
+        self.q.put((np.asarray(arr), fut))
+        return fut.result()
+
+    def _worker(self):
+        while True:
+            items = [self.q.get()]
+            rows = len(items[0][0])
+            deadline = time.monotonic() + self.window_s
+            while rows < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                items.append(nxt)
+                rows += len(nxt[0])
+            try:
+                if len(items) == 1:
+                    out = np.asarray(self.fn(items[0][0]))
+                    items[0][1].set_result(out)
+                    continue
+                out = np.asarray(self.fn(np.concatenate([a for a, _ in items], axis=0)))
+                ofs = 0
+                for arr, fut in items:
+                    fut.set_result(out[ofs:ofs + len(arr)])
+                    ofs += len(arr)
+            except Exception as e:  # noqa: BLE001 - deliver to every waiter
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def make_server(
+    artifact_path: str,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    *,
+    max_batch: int = 32,
+    batch_window_ms: float = 5.0,
+):
     served = load_exported(artifact_path)
     tokenizer = SimpleTokenizer(context_length=served.meta.get("context_length", 98))
-    lock = threading.Lock()  # single accelerator: serialize compute
+    # Coalescing produces arbitrary batch sizes — only sound for
+    # symbolic-batch artifacts ("batch_size": None in meta; older artifacts
+    # without the key are treated as fixed).
+    symbolic = served.meta.get("batch_size", "fixed") is None
+    if max_batch > 1 and symbolic:
+        # Batcher workers serialize device access themselves — handlers must
+        # NOT share a lock, or requests serialize before they can coalesce.
+        _img = _Batcher(served.encode_image, max_batch, batch_window_ms / 1e3)
+        _txt = _Batcher(served.encode_text, max_batch, batch_window_ms / 1e3)
+
+        def enc_img(images):
+            return _img(images)
+
+        def enc_txt(tokens):
+            return _txt(tokens)
+
+    else:
+        lock = threading.Lock()  # single accelerator: serialize compute
+
+        def enc_img(images):
+            with lock:
+                return served.encode_image(images)
+
+        def enc_txt(tokens):
+            with lock:
+                return served.encode_text(tokens)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict):
@@ -61,21 +154,14 @@ def make_server(artifact_path: str, host: str = "0.0.0.0", port: int = 8080):
 
             try:
                 if self.path == "/encode_text":
-                    tokens = tokenizer(req["texts"])
-                    with lock:
-                        feats = served.encode_text(tokens)
+                    feats = enc_txt(tokenizer(req["texts"]))
                     return self._json(200, {"features": np.asarray(feats).tolist()})
                 if self.path == "/encode_image":
-                    images = np.asarray(req["images"], np.float32)
-                    with lock:
-                        feats = served.encode_image(images)
+                    feats = enc_img(np.asarray(req["images"], np.float32))
                     return self._json(200, {"features": np.asarray(feats).tolist()})
                 if self.path == "/score":
-                    images = np.asarray(req["images"], np.float32)
-                    tokens = tokenizer(req["texts"])
-                    with lock:
-                        img = np.asarray(served.encode_image(images))
-                        txt = np.asarray(served.encode_text(tokens))
+                    img = np.asarray(enc_img(np.asarray(req["images"], np.float32)))
+                    txt = np.asarray(enc_txt(tokenizer(req["texts"])))
                     logits = served.meta.get("logit_scale", 100.0) * img @ txt.T
                     return self._json(200, {"logits": logits.tolist()})
                 return self._json(404, {"error": "unknown path"})
@@ -92,8 +178,15 @@ def main(argv=None):
     parser.add_argument("--model", required=True, help="path to a .mrclip export")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--max-batch", type=int, default=32,
+                        help="dynamic batching: max coalesced rows (1 disables)")
+    parser.add_argument("--batch-window-ms", type=float, default=5.0,
+                        help="dynamic batching: wait window for coalescing")
     args = parser.parse_args(argv)
-    server = make_server(args.model, args.host, args.port)
+    server = make_server(
+        args.model, args.host, args.port,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+    )
     print(f"serving {args.model} on {args.host}:{args.port}")
     server.serve_forever()
 

@@ -115,6 +115,9 @@ def export_model(
         "image_size": list(img_hw),
         "context_length": int(ctx),
         "int8": bool(int8),
+        # None = symbolic batch (any size; enables server-side dynamic
+        # batching); an int pins the only accepted batch size.
+        "batch_size": batch_size,
         "logit_scale": float(np.exp(np.asarray(scale))) if scale is not None else 100.0,
     }
     return ExportedModel(exp_img, exp_txt, meta)

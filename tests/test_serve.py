@@ -46,6 +46,72 @@ def test_encode_and_score(server):
     assert np.asarray(res["logits"]).shape == (2, 3)
 
 
+def test_dynamic_batching_concurrent_requests(server):
+    """16 concurrent encode_text requests coalesce through the batcher and
+    every client gets ITS rows back (order/slicing correctness under load)."""
+    texts = [f"an MRI of subject {i}" for i in range(16)]
+    singles = {
+        t: np.asarray(_post(server, "/encode_text", {"texts": [t]})["features"])[0]
+        for t in texts[:3]
+    }
+
+    results = {}
+    errors = []
+
+    def hit(t):
+        try:
+            results[t] = np.asarray(
+                _post(server, "/encode_text", {"texts": [t]})["features"]
+            )[0]
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(t,)) for t in texts]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(results) == 16
+    for t, want in singles.items():
+        np.testing.assert_allclose(results[t], want, atol=1e-5)
+
+
+def test_batcher_unit_coalesces_and_splits():
+    """_Batcher slices the concatenated output back per-caller and
+    propagates exceptions to every waiter."""
+    from mrclip_tpu.serve import _Batcher
+
+    calls = []
+
+    def fn(arr):
+        calls.append(len(arr))
+        return arr * 2.0
+
+    b = _Batcher(fn, max_batch=8, window_s=0.25)
+    outs = {}
+    ts = []
+    for i in range(4):
+        a = np.full((2, 3), float(i))
+        t = threading.Thread(target=lambda a=a, i=i: outs.__setitem__(i, b(a)))
+        ts.append(t)
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for i in range(4):
+        np.testing.assert_allclose(outs[i], np.full((2, 3), float(i)) * 2.0)
+    assert sum(calls) == 8  # every row served exactly once
+    assert len(calls) < 4  # at least some coalescing happened
+
+    def bad(arr):
+        raise RuntimeError("boom")
+
+    b2 = _Batcher(bad, max_batch=4, window_s=0.01)
+    with pytest.raises(RuntimeError):
+        b2(np.zeros((1, 3)))
+
+
 def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/encode_text", {"wrong": 1})
