@@ -122,4 +122,18 @@ def evaluate_vision_only(model, state, data, epoch: int, args) -> dict:
         f"VisionOnly Eval {epoch}: "
         + " ".join(f"{k}={v:.4f}" for k, v in metrics.items() if isinstance(v, float))
     )
+    # results.jsonl append, same as the standard eval path (reference
+    # train.py:842-845 writes it for the vision-only loop too).
+    log_dir = getattr(args, "checkpoint_path", None)
+    if log_dir:
+        import json
+        import os
+
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "results.jsonl"), "a+") as f:
+            f.write(json.dumps({
+                k: float(v) if isinstance(v, (int, float, np.floating)) else v
+                for k, v in metrics.items()
+            }))
+            f.write("\n")
     return metrics
