@@ -40,8 +40,11 @@ def main(argv=None) -> str:
     p.add_argument("--output", required=True, help="output .mrclip artifact path")
     args = p.parse_args(argv)
 
-    from .factory import create_model
+    from .factory import create_model, get_model_config
     from .serving import export_model, save_exported
+
+    cfg = get_model_config(args.model) or {}
+    hf_tok = cfg.get("text_cfg", {}).get("hf_tokenizer_name")
 
     model, variables = create_model(
         args.model,
@@ -51,7 +54,8 @@ def main(argv=None) -> str:
         scan_layers=False,  # unrolled layout: serving default, required for --int8
     )
     exported = export_model(
-        model, variables, batch_size=args.batch_size, int8=args.int8
+        model, variables, batch_size=args.batch_size, int8=args.int8,
+        tokenizer_name=hf_tok,
     )
     save_exported(exported, args.output)
     print(f"exported {args.model} -> {args.output} "

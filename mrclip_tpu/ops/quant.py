@@ -48,7 +48,9 @@ __all__ = [
     "int8_matmul",
 ]
 
-# qkernels: {module_path_tuple: {"q": int8 [in, out], "s": f32 [out]}}
+# qkernels: {module_path_tuple: entry}. Dense entries are
+# {"q": int8 [in, out], "s": f32 [out]}; Embed entries are {"s": f32 [vocab]}
+# (their int8 table replaces the "embedding" leaf in the variables tree).
 QKernels = Dict[Tuple[str, ...], Dict[str, jax.Array]]
 
 
@@ -94,19 +96,23 @@ def quantize_dense_kernels(
                     rest = {k: v for k, v in sub.items() if k != "kernel"}
                     out[name] = walk(rest, path + (name,))
                 elif (
-                    "embedding" in sub
+                    set(sub) == {"embedding"}
                     and getattr(sub["embedding"], "ndim", 0) == 2
                     and sub["embedding"].size >= min_elems
                 ):
-                    # nn.Embed table: int8 rows, dequantized at the gather
-                    # (pure weight compression — there is no matmul to win).
+                    # nn.Embed table (its params dict holds EXACTLY one
+                    # "embedding" leaf — the strict match keeps arbitrary
+                    # modules that happen to own an "embedding" param out of
+                    # this path, since the interceptor only dequantizes
+                    # nn.Embed): int8 rows, dequantized at the gather (pure
+                    # weight compression — there is no matmul to win).
                     # Unlike Dense (@nn.compact), Embed declares its param in
                     # setup(), which runs before the intercepted __call__ —
                     # so the int8 table REPLACES the leaf in-place and only
                     # the per-row scales live in the side table.
                     ent = _quantize_embedding(sub["embedding"])
                     qkernels[path + (name,)] = {"s": ent["s"]}
-                    out[name] = dict(sub, embedding=ent["q"])
+                    out[name] = {"embedding": ent["q"]}
                 else:
                     out[name] = walk(sub, path + (name,))
             else:
@@ -173,6 +179,15 @@ def make_quantized_apply(model):
                 out_dtype = mod.dtype if mod.dtype is not None else jnp.float32
                 rows = jnp.take(mod.embedding, ids, axis=0).astype(jnp.float32)
                 return (rows * ent["s"][ids][..., None]).astype(out_dtype)
+            if "q" not in ent:
+                # An embed-style entry whose owner is not nn.Embed: its leaf
+                # was replaced with raw int8 codes — running the module body
+                # would silently compute garbage. Fail loudly instead.
+                raise RuntimeError(
+                    f"quantized embedding at {mod.path} is owned by "
+                    f"{type(mod).__name__}, not nn.Embed; exclude it from "
+                    "quantize_dense_kernels"
+                )
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(interceptor):

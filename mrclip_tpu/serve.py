@@ -60,20 +60,33 @@ class _Batcher:
         return fut.result()
 
     def _worker(self):
+        pending = []  # requests deferred from earlier groups, in order
         while True:
-            items = [self.q.get()]
-            rows = len(items[0][0])
+            first = pending.pop(0) if pending else self.q.get()
+            items, deferred = [first], []
+            rows = len(first[0])
+            shape = first[0].shape[1:]
             deadline = time.monotonic() + self.window_s
             while rows < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self.q.get(timeout=remaining)
-                except queue.Empty:
-                    break
+                if pending:
+                    nxt = pending.pop(0)
+                else:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self.q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                # Only coalesce compatible requests: same per-item shape and
+                # within the row cap. Everything else defers to the NEXT
+                # group rather than failing (or bloating) this one.
+                if nxt[0].shape[1:] != shape or rows + len(nxt[0]) > self.max_batch:
+                    deferred.append(nxt)
+                    continue
                 items.append(nxt)
                 rows += len(nxt[0])
+            pending = deferred + pending
             try:
                 if len(items) == 1:
                     out = np.asarray(self.fn(items[0][0]))
@@ -99,7 +112,15 @@ def make_server(
     batch_window_ms: float = 5.0,
 ):
     served = load_exported(artifact_path)
-    tokenizer = SimpleTokenizer(context_length=served.meta.get("context_length", 98))
+    ctx = served.meta.get("context_length", 98)
+    tok_name = served.meta.get("tokenizer", "clip-bpe")
+    if tok_name != "clip-bpe":
+        # HF text tower: its encoder expects the matching HF vocabulary.
+        from .tokenizer import HFTokenizer
+
+        tokenizer = HFTokenizer(tok_name, context_length=ctx)
+    else:
+        tokenizer = SimpleTokenizer(context_length=ctx)
     # Coalescing produces arbitrary batch sizes — only sound for
     # symbolic-batch artifacts ("batch_size": None in meta; older artifacts
     # without the key are treated as fixed).

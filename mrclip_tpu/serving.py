@@ -54,6 +54,7 @@ def export_model(
     image_size: Optional[Tuple[int, int]] = None,
     context_length: Optional[int] = None,
     int8: bool = False,
+    tokenizer_name: Optional[str] = None,
 ) -> ExportedModel:
     """Export the two encoders as StableHLO with params baked in.
 
@@ -118,6 +119,9 @@ def export_model(
         # None = symbolic batch (any size; enables server-side dynamic
         # batching); an int pins the only accepted batch size.
         "batch_size": batch_size,
+        # "clip-bpe" = SimpleTokenizer; anything else is an HF tokenizer
+        # name the serve layer must use (HF text towers expect its ids).
+        "tokenizer": tokenizer_name or "clip-bpe",
         "logit_scale": float(np.exp(np.asarray(scale))) if scale is not None else 100.0,
     }
     return ExportedModel(exp_img, exp_txt, meta)

@@ -71,6 +71,21 @@ __all__ = [
 ]
 
 
+def append_results_jsonl(args, metrics: dict) -> None:
+    """Append eval metrics to checkpoints/results.jsonl (reference
+    train.py:447-449; shared by the standard and vision-only eval paths)."""
+    log_dir = getattr(args, "checkpoint_path", None)
+    if not log_dir:
+        return
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "results.jsonl"), "a+") as f:
+        f.write(json.dumps({
+            k: float(v) if isinstance(v, (int, float, np.floating)) else v
+            for k, v in metrics.items()
+        }))
+        f.write("\n")
+
+
 class AverageMeter:
     """Running average (reference train.py:29-45)."""
 
@@ -347,12 +362,7 @@ def evaluate(
         + "\t".join([f"{k}: {round(v, 4):.4f}" for k, v in metrics.items() if isinstance(v, float)])
     )
 
-    log_dir = getattr(args, "checkpoint_path", None)
-    if log_dir:
-        os.makedirs(log_dir, exist_ok=True)
-        with open(os.path.join(log_dir, "results.jsonl"), "a+") as f:
-            f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v for k, v in metrics.items()}))
-            f.write("\n")
+    append_results_jsonl(args, metrics)
     if writer is not None:
         for name, val in metrics.items():
             if isinstance(val, (int, float, np.floating)):

@@ -24,7 +24,7 @@ import optax
 from ..losses import multipositive_clip_loss_vision_only
 from ..parallel import local_batch_to_global
 from ..parallel.train_step import _clamp_logit_scale
-from .loop import AverageMeter
+from .loop import AverageMeter, append_results_jsonl
 from .metrics import rank_metrics
 
 __all__ = ["build_vision_only_step", "train_one_epoch_vision_only", "evaluate_vision_only"]
@@ -122,18 +122,7 @@ def evaluate_vision_only(model, state, data, epoch: int, args) -> dict:
         f"VisionOnly Eval {epoch}: "
         + " ".join(f"{k}={v:.4f}" for k, v in metrics.items() if isinstance(v, float))
     )
-    # results.jsonl append, same as the standard eval path (reference
+    # results.jsonl append, same path as the standard eval (reference
     # train.py:842-845 writes it for the vision-only loop too).
-    log_dir = getattr(args, "checkpoint_path", None)
-    if log_dir:
-        import json
-        import os
-
-        os.makedirs(log_dir, exist_ok=True)
-        with open(os.path.join(log_dir, "results.jsonl"), "a+") as f:
-            f.write(json.dumps({
-                k: float(v) if isinstance(v, (int, float, np.floating)) else v
-                for k, v in metrics.items()
-            }))
-            f.write("\n")
+    append_results_jsonl(args, metrics)
     return metrics
