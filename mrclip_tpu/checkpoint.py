@@ -170,21 +170,71 @@ def _convert_tower_blocks(
             _set(out, tower_path + ("transformer", f"blocks_{i}"), blk)
 
 
+def _convert_hf_text_tower(
+    sd: Dict[str, np.ndarray], text_cfg: dict
+) -> Optional[dict]:
+    """open_clip `HFTextEncoder` checkpoint keys -> our HFTextEncoder params.
+
+    Reference hf_model.py:96-169 saves `text.transformer.<hf torch keys>`
+    plus `text.proj.weight` (linear) or `text.proj.{0,2}.weight` (mlp).
+    The HF subtree converts through transformers'
+    `convert_pytorch_state_dict_to_flax` against a Flax model built from
+    the SAME config the tower will run (inline `hf_model_config` for
+    offline loads, hub config otherwise), so roberta/biomed checkpoints
+    load without network access to the original torch weights.
+    """
+    prefix = "text.transformer."
+    hf_keys = {k for k in sd if k.startswith(prefix)}
+    if not hf_keys or any(k.startswith("text.transformer.resblocks.") for k in sd):
+        return None  # native CustomTextCLIP layout, not an HF tower
+    import torch
+    from transformers import FlaxAutoModel
+    from transformers.modeling_flax_pytorch_utils import (
+        convert_pytorch_state_dict_to_flax,
+    )
+
+    from .models.hf_text import resolve_hf_config
+
+    hf_config = resolve_hf_config(
+        text_cfg.get("hf_model_name"), text_cfg.get("hf_model_config")
+    )
+    flax_model = FlaxAutoModel.from_config(hf_config)
+    pt_sd = {
+        k[len(prefix):]: torch.from_numpy(np.array(sd[k])) for k in hf_keys
+    }
+    hf_params = convert_pytorch_state_dict_to_flax(pt_sd, flax_model)
+    out: dict = {"hf": dict(hf_params)}
+    if "text.proj.weight" in sd:
+        out["proj"] = {"kernel": sd["text.proj.weight"].T}
+    if "text.proj.0.weight" in sd:  # mlp proj (hf_model.py:146-152)
+        out["proj_fc1"] = {"kernel": sd["text.proj.0.weight"].T}
+        out["proj_fc2"] = {"kernel": sd["text.proj.2.weight"].T}
+    return out
+
+
 def import_torch_state_dict(
     state_dict: Dict[str, Any],
     *,
     scan_layers: bool = True,
     image_grid: Optional[tuple] = None,
     context_length: Optional[int] = None,
+    hf_text_cfg: Optional[dict] = None,
 ) -> dict:
     """Convert an open_clip/OpenAI CLIP torch state dict to Flax params.
 
     Handles both the inlined-text `CLIP` layout (`transformer.*` at root,
     reference model.py:222-332) and the `CustomTextCLIP` layout (`text.*`
-    prefix); resizes pos-embeds when `image_grid`/`context_length` differ
-    from the checkpoint (reference factory.py:169-213).
+    prefix), plus HF text towers when `hf_text_cfg` is given; resizes
+    pos-embeds when `image_grid`/`context_length` differ from the
+    checkpoint (reference factory.py:169-213).
     """
     sd = {k: _to_np(v) for k, v in _strip_module_prefix(state_dict).items()}
+
+    hf_text = _convert_hf_text_tower(sd, hf_text_cfg) if hf_text_cfg else None
+    if hf_text is not None:
+        # Consume the HF text keys before the CustomTextCLIP strip below
+        # would mangle them into the native-tower namespace.
+        sd = {k: v for k, v in sd.items() if not k.startswith("text.")}
 
     # Normalize CustomTextCLIP keys to the inlined layout first
     # (reference model.py:497-512 does the inverse remap).
@@ -253,6 +303,9 @@ def import_torch_state_dict(
             txt["cls_emb"] = sd["cls_emb"]
         params["text"] = txt
         _convert_tower_blocks(sd, "", params, ("text",), scan_layers)
+
+    if hf_text is not None:
+        params["text"] = jax.tree.map(jnp.asarray, hf_text)
 
     # --- CoCa multimodal decoder (reference transformer.py:830-926) ---
     if any(k.startswith("text_decoder.") for k in sd):

@@ -252,6 +252,32 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
     if "patch_embed.proj.weight" in keys:  # bare timm ViT (vision-only)
         kwargs.pop("context_length", None)
         return {"visual": timm_vit_to_vision_params(sd, **kwargs)}
+    if "visual.trunk.patch_embed.proj.weight" in keys:
+        # open_clip TimmModel vision tower (e.g. BiomedCLIP: timm ViT trunk
+        # + HF text). Vision remaps through the timm converter; the rest of
+        # the checkpoint (text tower, logit_scale) goes through the
+        # standard importer.
+        from .checkpoint import import_torch_state_dict
+
+        trunk = {
+            k[len("visual.trunk."):]: v
+            for k, v in sd.items()
+            if k.startswith("visual.trunk.")
+        }
+        vis_kwargs = {k: v for k, v in kwargs.items() if k != "context_length"}
+        vis_kwargs.pop("hf_text_cfg", None)
+        rest = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+        params = import_torch_state_dict(dict(rest), **kwargs)
+        params["visual"] = timm_vit_to_vision_params(trunk, **vis_kwargs)
+        # timm head.weight/bias (classifier) has no CLIP equivalent; the
+        # contrastive projection, if present, rides visual.head.proj
+        if "visual.head.proj.weight" in sd:
+            import jax.numpy as jnp
+
+            params["visual"]["proj"] = jnp.asarray(
+                np.asarray(sd["visual.head.proj.weight"]).T
+            )
+        return params
     from .checkpoint import import_torch_state_dict
 
     return import_torch_state_dict(dict(sd), **kwargs)

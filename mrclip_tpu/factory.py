@@ -334,6 +334,11 @@ def create_model(
                 scan_layers=scan_layers,
                 image_grid=grid,
                 context_length=cfg["text_cfg"].get("context_length"),
+                # HF text towers (roberta/biomed): the checkpoint's
+                # text.transformer.* torch keys convert against this config
+                hf_text_cfg=cfg["text_cfg"]
+                if cfg["text_cfg"].get("hf_model_name")
+                else None,
             )
 
         # Overlay loaded params onto the init template (keeps missing keys),

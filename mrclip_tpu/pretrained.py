@@ -190,6 +190,13 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "dfn5b": _apcfg(hf_hub="apple/DFN5B-CLIP-ViT-H-14/", quick_gelu=True),
     },
+    "ViT-B-16-biomed": {
+        # timm-trunk vision + PubMedBERT text: loads via the
+        # visual.trunk.* remap + HF text conversion (convert.py)
+        "biomedclip": _apcfg(
+            hf_hub="microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224/"
+        ),
+    },
     "roberta-ViT-B-32": {
         "laion2b_s12b_b32k": _apcfg(
             hf_hub="laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k/"

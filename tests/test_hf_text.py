@@ -179,3 +179,57 @@ def test_biomed_config_builds_offline():
     assert "hf" in shapes["params"]["text"]
     out = jax.eval_shape(lambda v: model.apply(v, imgs, toks), shapes)
     assert out["text_features"].shape == (2, 512)
+
+
+def test_hf_torch_checkpoint_import_parity():
+    """An open_clip-layout checkpoint with an HF text tower
+    (`text.transformer.*` torch keys + `text.proj.{0,2}` mlp, reference
+    hf_model.py:96-169) imports into our params tree and reproduces the
+    torch forward: bert -> masked mean pool -> GELU mlp proj."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel
+
+    from mrclip_tpu.checkpoint import import_torch_state_dict
+
+    model, variables, imgs, toks = _build(pooler="mean_pooler", proj="mlp")
+
+    torch.manual_seed(0)
+    tm = BertModel(BertConfig(**TINY_BERT)).eval()
+    d, out_dim = 32, 16
+    hidden = (d + out_dim) // 2
+    w0 = torch.randn(hidden, d) * 0.05
+    w2 = torch.randn(out_dim, hidden) * 0.05
+
+    sd = {f"text.transformer.{k}": v.numpy() for k, v in tm.state_dict().items()}
+    sd["text.proj.0.weight"] = w0.numpy()
+    sd["text.proj.2.weight"] = w2.numpy()
+    sd["logit_scale"] = np.asarray(2.659, np.float32)
+
+    params = import_torch_state_dict(sd, scan_layers=False, hf_text_cfg=TEXT_HF)
+    assert set(params["text"]) == {"hf", "proj_fc1", "proj_fc2"}
+    # imported HF subtree must match the built tower's structure exactly
+    tpl = jax.tree_util.tree_structure(
+        jax.tree.map(lambda x: 0, variables["params"]["text"]["hf"])
+    )
+    got = jax.tree_util.tree_structure(
+        jax.tree.map(lambda x: 0, params["text"]["hf"])
+    )
+    assert tpl == got
+
+    variables["params"] = dict(variables["params"], text=params["text"],
+                               logit_scale=params["logit_scale"])
+    ours = model.apply(variables, None, toks)["text_features"]
+
+    # torch oracle of the same computation
+    t_toks = torch.from_numpy(np.asarray(toks)).long()
+    mask = (t_toks != 0)
+    with torch.no_grad():
+        h = tm(input_ids=t_toks, attention_mask=mask.long()).last_hidden_state
+        m = mask.float().unsqueeze(-1)
+        pooled = (h * m).sum(1) / m.sum(1).clamp(min=1.0)
+        projected = torch.nn.functional.gelu(pooled @ w0.T) @ w2.T
+        want = torch.nn.functional.normalize(projected, dim=-1).numpy()
+
+    a = np.asarray(ours, np.float64)
+    a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    np.testing.assert_allclose(a, want, atol=2e-5)

@@ -150,3 +150,37 @@ def test_timm_checkpoint_through_load(tmp_path):
     params = load_torch_checkpoint(path, scan_layers=False)
     assert "visual" in params and "conv1" in params["visual"]
     assert params["visual"]["conv1"]["bias"].shape == (D,)
+
+
+def test_biomedclip_layout_checkpoint_dispatch():
+    """open_clip TimmModel + HF-text checkpoints (BiomedCLIP layout:
+    `visual.trunk.<timm keys>` + `visual.head.proj` + `text.transformer.*`)
+    dispatch through convert_state_dict into a full params tree (each
+    sub-converter's numerics are parity-tested separately)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel
+
+    from mrclip_tpu.convert import convert_state_dict
+
+    tiny_bert = {
+        "model_type": "bert", "vocab_size": 64, "hidden_size": 16,
+        "num_hidden_layers": 1, "num_attention_heads": 2,
+        "intermediate_size": 32, "max_position_embeddings": 24,
+        "type_vocab_size": 2, "pad_token_id": 0,
+    }
+    text_cfg = {"hf_model_name": "local/tiny", "hf_model_config": tiny_bert}
+
+    sd = {f"visual.trunk.{k}": v for k, v in _tiny_timm_sd(seed=3).items()}
+    sd["visual.head.proj.weight"] = np.random.RandomState(4).randn(16, D).astype(np.float32) * 0.05
+    torch.manual_seed(0)
+    tm = BertModel(BertConfig(**{k: v for k, v in tiny_bert.items() if k != "model_type"}))
+    sd.update({f"text.transformer.{k}": v.numpy() for k, v in tm.state_dict().items()})
+    sd["text.proj.weight"] = np.random.RandomState(5).randn(16, 16).astype(np.float32) * 0.05
+    sd["logit_scale"] = np.asarray(2.659, np.float32)
+
+    params = convert_state_dict(sd, scan_layers=False, hf_text_cfg=text_cfg)
+    assert "visual" in params and "text" in params
+    assert params["visual"]["proj"].shape == (D, 16)
+    assert set(params["text"]) == {"hf", "proj"}
+    assert "transformer" in params["visual"]
+    assert float(params["logit_scale"]) == pytest.approx(2.659)
