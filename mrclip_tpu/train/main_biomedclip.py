@@ -7,7 +7,9 @@ PubMedBERT+ViT-B/16 hub model (:229-247) with text-dropout injection
 model/tokenizer config — the HF text tower loads through
 `models.hf_text.HFTextEncoder` (requires an architecture with a Flax port).
 
-Run: `python -m mrclip_tpu.train.main_biomedclip <flags>`.
+Run: `python -m mrclip_tpu.train.main_biomedclip <flags>`. The real
+BiomedCLIP weights load with `--pretrained biomedclip` (registry tag;
+timm-trunk vision + HF text checkpoint conversion, `convert.py`).
 """
 
 from __future__ import annotations
