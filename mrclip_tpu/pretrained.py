@@ -202,6 +202,11 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
             hf_hub="laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k/"
         ),
     },
+    "xlm-roberta-base-ViT-B-32": {
+        "laion5b_s13b_b90k": _apcfg(
+            hf_hub="laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k/"
+        ),
+    },
     "ViT-g-14": {
         "laion2b_s12b_b42k": _apcfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s12B-b42K/"),
         "laion2b_s34b_b88k": _apcfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s34B-b88K/"),
