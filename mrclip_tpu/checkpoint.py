@@ -198,11 +198,22 @@ def _convert_hf_text_tower(
     hf_config = resolve_hf_config(
         text_cfg.get("hf_model_name"), text_cfg.get("hf_model_config")
     )
-    flax_model = FlaxAutoModel.from_config(hf_config)
+    # The converter only reads `base_model_prefix` and a shape-bearing
+    # `params` tree; eval_shape gives that without materializing a full
+    # random init (xlm-roberta would otherwise allocate ~1GB per load).
+    fm = FlaxAutoModel.from_config(hf_config, _do_init=False)
+    shapes = jax.eval_shape(
+        lambda: fm.init_weights(jax.random.PRNGKey(0), (1, 8))
+    )
+
+    class _Shim:
+        base_model_prefix = fm.base_model_prefix
+        params = shapes
+
     pt_sd = {
         k[len(prefix):]: torch.from_numpy(np.array(sd[k])) for k in hf_keys
     }
-    hf_params = convert_pytorch_state_dict_to_flax(pt_sd, flax_model)
+    hf_params = convert_pytorch_state_dict_to_flax(pt_sd, _Shim())
     out: dict = {"hf": dict(hf_params)}
     if "text.proj.weight" in sd:
         out["proj"] = {"kernel": sd["text.proj.weight"].T}

@@ -270,7 +270,20 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
         params = import_torch_state_dict(dict(rest), **kwargs)
         params["visual"] = timm_vit_to_vision_params(trunk, **vis_kwargs)
         # timm head.weight/bias (classifier) has no CLIP equivalent; the
-        # contrastive projection, if present, rides visual.head.proj
+        # contrastive projection, if present, rides visual.head.proj.
+        # Reject head variants the native tower cannot express rather than
+        # silently dropping weights (reference timm_model.py:92-107).
+        if "visual.head.proj.bias" in sd:
+            raise NotImplementedError(
+                "timm-trunk checkpoint uses proj_bias=True; the native "
+                "VisionTransformer projection is bias-free"
+            )
+        if any(k.startswith("visual.head.mlp.") for k in sd):
+            raise NotImplementedError(
+                "timm-trunk checkpoint uses an MLP head (proj='mlp', "
+                "reference timm_model.py:106-107); only the linear head "
+                "maps onto the native projection"
+            )
         if "visual.head.proj.weight" in sd:
             import jax.numpy as jnp
 

@@ -279,6 +279,10 @@ def create_model(
             hf_params = load_hf_pretrained_params(cfg["text_cfg"]["hf_model_name"])
             variables["params"] = unfreeze(variables["params"])
             tpl = variables["params"]["text"]["hf"]
+            # Hub weights may carry subtrees the tower doesn't mount (e.g.
+            # the transformer pooler when pooler_type != cls_pooler) — drop
+            # them before the shape comparison.
+            hf_params = {k: v for k, v in hf_params.items() if k in tpl}
             tpl_shapes = jax.tree.map(jnp.shape, tpl)
             new_shapes = jax.tree.map(jnp.shape, hf_params)
             if tpl_shapes != new_shapes:

@@ -119,7 +119,14 @@ class HFTextEncoder(nn.Module):
         hf_config = resolve_hf_config(self.model_name, self.config)
         module_cls = _flax_module_class(hf_config)
         # Child module: params live at <tower>/hf/... in the pytree.
-        self.hf = module_cls(config=hf_config, dtype=self.dtype)
+        # The transformer-internal pooler only exists for cls_pooler
+        # (reference hf_model.py:115,128 add_pooling_layer) — without this,
+        # every pretrained load would carry dead pooler params and a
+        # spurious missing-subtree warning.
+        kwargs = {}
+        if "add_pooling_layer" in getattr(module_cls, "__dataclass_fields__", {}):
+            kwargs["add_pooling_layer"] = self.pooler_type == "cls_pooler"
+        self.hf = module_cls(config=hf_config, dtype=self.dtype, **kwargs)
         # width attr varies by arch (reference hf_configs.py arch_dict:
         # bert/roberta hidden_size, t5/mt5 d_model, m2m100 d_model)
         self._hf_width = getattr(hf_config, "hidden_size", None) or hf_config.d_model
@@ -141,9 +148,21 @@ class HFTextEncoder(nn.Module):
         if "token_type_ids" in sig:
             kwargs["token_type_ids"] = jnp.zeros_like(tokens)
         if "position_ids" in sig:
-            kwargs["position_ids"] = jnp.broadcast_to(
-                jnp.arange(tokens.shape[1]), tokens.shape
-            )
+            if getattr(self.hf.config, "model_type", "") in (
+                "roberta", "xlm-roberta", "camembert",
+            ):
+                # Roberta-family positions are padding-offset: pretrained
+                # weights reserve rows [0, pad_idx] and real tokens start at
+                # pad_idx+1 (transformers create_position_ids_from_input_ids
+                # — the Flax *module* does NOT apply this itself, only the
+                # PreTrainedModel wrapper does). Plain arange silently
+                # shifts every position embedding by pad_idx+1.
+                incremental = jnp.cumsum(mask, axis=1) * mask
+                kwargs["position_ids"] = incremental + self.hf.config.pad_token_id
+            else:
+                kwargs["position_ids"] = jnp.broadcast_to(
+                    jnp.arange(tokens.shape[1]), tokens.shape
+                )
         if "head_mask" in sig:
             kwargs["head_mask"] = None
         if "deterministic" in sig:

@@ -200,7 +200,10 @@ def test_hf_torch_checkpoint_import_parity():
     w0 = torch.randn(hidden, d) * 0.05
     w2 = torch.randn(out_dim, hidden) * 0.05
 
-    sd = {f"text.transformer.{k}": v.numpy() for k, v in tm.state_dict().items()}
+    # mean-pooler towers save no transformer pooler (reference
+    # hf_model.py:115,128 add_pooling_layer=False)
+    sd = {f"text.transformer.{k}": v.numpy() for k, v in tm.state_dict().items()
+          if not k.startswith("pooler.")}
     sd["text.proj.0.weight"] = w0.numpy()
     sd["text.proj.2.weight"] = w2.numpy()
     sd["logit_scale"] = np.asarray(2.659, np.float32)
@@ -233,3 +236,66 @@ def test_hf_torch_checkpoint_import_parity():
     a = np.asarray(ours, np.float64)
     a = a / np.linalg.norm(a, axis=-1, keepdims=True)
     np.testing.assert_allclose(a, want, atol=2e-5)
+
+
+def test_hf_roberta_position_offset_parity():
+    """Roberta-family towers must use padding-offset position ids
+    (pad_idx+1..., transformers create_position_ids_from_input_ids) — plain
+    arange silently shifts every position embedding. Oracle: torch
+    RobertaModel, which applies the offset internally."""
+    torch = pytest.importorskip("torch")
+    from transformers import RobertaConfig, RobertaModel
+
+    from mrclip_tpu.checkpoint import import_torch_state_dict
+
+    tiny_roberta = {
+        "model_type": "roberta",
+        "vocab_size": 96,
+        "hidden_size": 32,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 2,
+        "intermediate_size": 64,
+        "max_position_embeddings": 40,
+        "type_vocab_size": 1,
+        "pad_token_id": 1,
+    }
+    text_cfg = dict(
+        TEXT_HF,
+        hf_model_name="local/test-tiny-roberta",
+        hf_model_config=tiny_roberta,
+        hf_proj_type="linear",
+        pad_id=1,
+        vocab_size=96,
+    )
+    model = CLIP(embed_dim=16, vision_cfg=VISION_MINI, text_cfg=text_cfg,
+                 scan_layers=False)
+    rng = np.random.RandomState(0)
+    toks = rng.randint(2, 96, (2, 16)).astype(np.int32)
+    toks[0, 10:] = 1  # ragged padding exercises the offset/mask interplay
+    toks = jnp.asarray(toks)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = dict(model.init(jax.random.key(0), imgs, toks))
+
+    torch.manual_seed(0)
+    tm = RobertaModel(
+        RobertaConfig(**{k: v for k, v in tiny_roberta.items() if k != "model_type"})
+    ).eval()
+    w = torch.randn(16, 32) * 0.05
+    sd = {f"text.transformer.{k}": v.numpy() for k, v in tm.state_dict().items()
+          if not k.startswith("pooler.")}
+    sd["text.proj.weight"] = w.numpy()
+
+    params = import_torch_state_dict(sd, scan_layers=False, hf_text_cfg=text_cfg)
+    variables["params"] = dict(variables["params"], text=params["text"])
+    ours = np.asarray(model.apply(variables, None, toks)["text_features"], np.float64)
+    ours = ours / np.linalg.norm(ours, axis=-1, keepdims=True)
+
+    t_toks = torch.from_numpy(np.asarray(toks)).long()
+    mask = (t_toks != 1)
+    with torch.no_grad():
+        h = tm(input_ids=t_toks, attention_mask=mask.long()).last_hidden_state
+        m = mask.float().unsqueeze(-1)
+        pooled = (h * m).sum(1) / m.sum(1).clamp(min=1.0)
+        projected = pooled @ w.T
+        want = torch.nn.functional.normalize(projected, dim=-1).numpy()
+    np.testing.assert_allclose(ours, want, atol=2e-5)
