@@ -75,3 +75,32 @@ def test_quantized_model_matches_fp32_embeddings():
     la = np.asarray(ref["image_features"]) @ np.asarray(ref["text_features"]).T
     lb = np.asarray(out["image_features"]) @ np.asarray(out["text_features"]).T
     assert (la.argmax(-1) == lb.argmax(-1)).all()
+
+
+def test_quantized_hf_text_tower():
+    """W8A8 over a CLIP with an HF (BERT) text tower: the HF Dense kernels
+    and embedding tables quantize through the same interceptor (the
+    BiomedCLIP serving combo)."""
+    from tests.test_hf_text import TEXT_HF, VISION_MINI
+    from mrclip_tpu.models.clip import CLIP
+
+    model = CLIP(embed_dim=16, vision_cfg=VISION_MINI, text_cfg=TEXT_HF,
+                 scan_layers=False)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    toks = jnp.asarray(rng.randint(1, 128, (2, 16)), jnp.int32)
+    variables = dict(model.init(jax.random.key(0), imgs, toks))
+
+    stripped, qkernels = quantize_dense_kernels(variables, min_elems=512)
+    hf_entries = [p for p in qkernels if "hf" in p]
+    assert hf_entries, "no HF tower weights quantized"
+
+    ref = model.apply(variables, imgs, toks)
+    out = jax.jit(make_quantized_apply(model))(stripped, qkernels, imgs, toks)
+    for key in ("image_features", "text_features"):
+        a = np.asarray(ref[key], np.float64)
+        b = np.asarray(out[key], np.float64)
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert cos.min() > 0.98, f"{key} cosine {cos.min()}"
