@@ -57,5 +57,6 @@ from .pretrained import (
     list_pretrained_models_by_tag,
     list_pretrained_tags_by_model,
 )
+from .serving import export_model, load_exported, save_exported
 from .transforms import AugmentationCfg, PreprocessCfg, image_transform, image_transform_v2
 from .utils import to_2tuple
