@@ -238,6 +238,71 @@ def timm_vit_to_vision_params(
     return jax.tree.map(jnp.asarray, vis)
 
 
+def timm_convnext_to_vision_params(sd: Mapping, **_ignored) -> dict:
+    """timm ConvNeXt state dict -> native `ConvNeXt` params.
+
+    timm layout: `stem.{0,1}` (conv, LN), `stages.{s}.blocks.{b}.{conv_dw,
+    norm, mlp.fc1, mlp.fc2, gamma}`, `stages.{s}.downsample.{0,1}` (LN,
+    conv) for s>=1, and the final norm as `head.norm` (timm NormMlpHead) or
+    bare `norm` / `norm_pre` depending on vintage. Conv kernels transpose
+    OIHW -> HWIO (depthwise [D,1,7,7] -> [7,7,1,D]).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out: dict = {}
+
+    def conv(key_w, key_b=None):
+        p = {"kernel": sd[key_w].transpose(2, 3, 1, 0)}
+        if key_b and key_b in sd:
+            p["bias"] = sd[key_b]
+        return p
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    out["stem_conv"] = conv("stem.0.weight", "stem.0.bias")
+    out["stem_norm"] = ln("stem.1")
+
+    stages = sorted({
+        int(k.split(".")[1]) for k in sd if k.startswith("stages.")
+    })
+    for s in stages:
+        if f"stages.{s}.downsample.0.weight" in sd:
+            out[f"downsample_{s}_norm"] = ln(f"stages.{s}.downsample.0")
+            out[f"downsample_{s}_conv"] = conv(
+                f"stages.{s}.downsample.1.weight", f"stages.{s}.downsample.1.bias"
+            )
+        blocks = sorted({
+            int(k.split(".")[3])
+            for k in sd
+            if k.startswith(f"stages.{s}.blocks.")
+        })
+        for b in blocks:
+            p = f"stages.{s}.blocks.{b}."
+            out[f"stages_{s}_blocks_{b}"] = {
+                "conv_dw": conv(p + "conv_dw.weight", p + "conv_dw.bias"),
+                "norm": ln(p + "norm"),
+                "mlp_fc1": {
+                    "kernel": sd[p + "mlp.fc1.weight"].T,
+                    "bias": sd[p + "mlp.fc1.bias"],
+                },
+                "mlp_fc2": {
+                    "kernel": sd[p + "mlp.fc2.weight"].T,
+                    "bias": sd[p + "mlp.fc2.bias"],
+                },
+                "gamma": sd[p + "gamma"],
+            }
+
+    for cand in ("head.norm", "norm", "norm_pre"):
+        if cand + ".weight" in sd:
+            out["head_norm"] = ln(cand)
+            break
+
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, out)
+
+
 def convert_state_dict(sd: Mapping, **kwargs) -> dict:
     """Dispatch by checkpoint flavor (reference convert.py:193-200)."""
     keys = list(sd.keys())
@@ -252,7 +317,12 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
     if "patch_embed.proj.weight" in keys:  # bare timm ViT (vision-only)
         kwargs.pop("context_length", None)
         return {"visual": timm_vit_to_vision_params(sd, **kwargs)}
-    if "visual.trunk.patch_embed.proj.weight" in keys:
+    if "stem.0.weight" in keys:  # bare timm ConvNeXt (vision-only)
+        return {"visual": timm_convnext_to_vision_params(sd)}
+    if (
+        "visual.trunk.patch_embed.proj.weight" in keys
+        or "visual.trunk.stem.0.weight" in keys
+    ):
         # open_clip TimmModel vision tower (e.g. BiomedCLIP: timm ViT trunk
         # + HF text). Vision remaps through the timm converter; the rest of
         # the checkpoint (text tower, logit_scale) goes through the
@@ -268,7 +338,10 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
         vis_kwargs.pop("hf_text_cfg", None)
         rest = {k: v for k, v in sd.items() if not k.startswith("visual.")}
         params = import_torch_state_dict(dict(rest), **kwargs)
-        params["visual"] = timm_vit_to_vision_params(trunk, **vis_kwargs)
+        if "stem.0.weight" in trunk:
+            params["visual"] = timm_convnext_to_vision_params(trunk)
+        else:
+            params["visual"] = timm_vit_to_vision_params(trunk, **vis_kwargs)
         # timm head.weight/bias (classifier) has no CLIP equivalent; the
         # contrastive projection, if present, rides visual.head.proj.
         # Reject head variants the native tower cannot express rather than

@@ -120,17 +120,35 @@ def _build_timm_vit_tower(
     """TPU-native stand-in for the reference TimmModel vision adapter
     (`src/open_clip/timm_model.py:29-153`): `vit_*_patch*` names build the
     native VisionTransformer with timm conventions (patch-embed bias, no
-    pre-LN unless a `_clip_` variant, final norm before pool); the matching
-    timm checkpoints load via `convert.timm_vit_to_vision_params`. Non-ViT
-    timm families (convnext, efficientnet, ...) have no TPU port."""
+    pre-LN unless a `_clip_` variant, final norm before pool) and
+    `convnext_*` names build the native NHWC ConvNeXt; matching timm
+    checkpoints load via `convert.timm_vit_to_vision_params` /
+    `convert.timm_convnext_to_vision_params`. Other timm families
+    (efficientnet, ...) have no TPU port."""
     import re as _re
 
     tname = vision_cfg.timm_model_name
+    if tname in ("convnext",) or tname.startswith("convnext_"):
+        from .convnext import CONVNEXT_DIMS, ConvNeXt
+
+        if tname not in CONVNEXT_DIMS:
+            raise NotImplementedError(
+                f"timm convnext variant '{tname}' has no TPU-native stage "
+                f"table; supported: {sorted(CONVNEXT_DIMS)}"
+            )
+        depths, dims = CONVNEXT_DIMS[tname]
+        image_size = vision_cfg.image_size
+        return ConvNeXt(
+            depths=depths, dims=dims, output_dim=embed_dim,
+            image_size=image_size if isinstance(image_size, int) else image_size[0],
+            dtype=dtype, name=name,
+        )
     m = _re.match(r"vit_(tiny|small|base|large|huge)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$", tname)
     if not m:
         raise NotImplementedError(
             f"timm model '{tname}' has no TPU-native mapping; supported: the "
             "vit_{tiny,small,base,large,huge}_patch{P}[_clip]_{RES} family "
+            "and convnext_{tiny,small,base,large,xlarge} "
             "(reference timm_model.py:29-153). Use a native ViT/RN config for "
             "other architectures."
         )

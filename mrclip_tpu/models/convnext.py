@@ -1,0 +1,109 @@
+"""ConvNeXt vision tower (TPU-native, NHWC end-to-end).
+
+Covers the reference's timm ConvNeXt vision adapters
+(`src/open_clip/timm_model.py:29-153` with `timm_model_name=convnext_*`,
+pretrained table `src/open_clip/pretrained.py:373-385`): stem 4x4/s4 conv +
+LN, four stages of (7x7 depthwise conv -> LN -> 4x pointwise MLP with GELU
+-> LayerScale gamma -> residual) blocks with LN+2x2/s2 downsampling between
+stages, then global average pool -> LN -> linear projection.
+
+TPU notes: the whole tower stays NHWC (XLA's native conv layout); the
+pointwise "convs" are Dense layers on the channel axis so they tile onto
+the MXU as plain matmuls; LayerNorm uses the shared fp32-stats LayerNorm.
+Param names mirror timm's state-dict layout one-to-one so
+`convert.timm_convnext_to_vision_params` is a pure rename+transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import LayerNorm, gelu_exact
+
+Dtype = Any
+
+# timm convnext_* stage configurations
+CONVNEXT_DIMS = {
+    "convnext_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+    "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
+    "convnext_xlarge": ((3, 3, 27, 3), (256, 512, 1024, 2048)),
+}
+
+
+class ConvNeXtBlock(nn.Module):
+    """7x7 depthwise -> LN -> fc1(4x) -> GELU -> fc2 -> gamma -> residual."""
+
+    dim: int
+    ls_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shortcut = x
+        x = nn.Conv(
+            features=self.dim,
+            kernel_size=(7, 7),
+            padding=3,
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="conv_dw",
+        )(x)
+        x = LayerNorm(name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.ls_init_value),
+            (self.dim,),
+            jnp.float32,
+        )
+        return shortcut + x * gamma.astype(x.dtype)
+
+
+class ConvNeXt(nn.Module):
+    """ConvNeXt trunk + avg pool + LN + linear projection."""
+
+    depths: Sequence[int] = (3, 3, 27, 3)
+    dims: Sequence[int] = (128, 256, 512, 1024)
+    output_dim: Optional[int] = 640
+    image_size: int = 256
+    ls_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            features=self.dims[0], kernel_size=(4, 4), strides=4,
+            dtype=self.dtype, name="stem_conv",
+        )(x)
+        x = LayerNorm(name="stem_norm")(x)
+        for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if s > 0:
+                x = LayerNorm(name=f"downsample_{s}_norm")(x)
+                x = nn.Conv(
+                    features=dim, kernel_size=(2, 2), strides=2,
+                    dtype=self.dtype, name=f"downsample_{s}_conv",
+                )(x)
+            for b in range(depth):
+                x = ConvNeXtBlock(
+                    dim=dim, ls_init_value=self.ls_init_value,
+                    dtype=self.dtype, name=f"stages_{s}_blocks_{b}",
+                )(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool (timm 'avg')
+        x = LayerNorm(name="head_norm")(x)
+        if self.output_dim is not None:
+            proj = self.param(
+                "proj",
+                nn.initializers.normal(stddev=self.dims[-1] ** -0.5),
+                (self.dims[-1], self.output_dim),
+            )
+            x = x @ proj.astype(x.dtype)
+        return x

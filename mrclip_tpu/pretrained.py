@@ -190,6 +190,15 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "dfn5b": _apcfg(hf_hub="apple/DFN5B-CLIP-ViT-H-14/", quick_gelu=True),
     },
+    "convnext_base_w": {
+        # native NHWC ConvNeXt tower; visual.trunk.* remap
+        "laion2b_s13b_b82k": _apcfg(
+            hf_hub="laion/CLIP-convnext_base_w-laion2B-s13B-b82K/"
+        ),
+        "laion2b_s13b_b82k_augreg": _apcfg(
+            hf_hub="laion/CLIP-convnext_base_w-laion2B-s13B-b82K-augreg/"
+        ),
+    },
     "ViT-B-16-biomed": {
         # timm-trunk vision + PubMedBERT text: loads via the
         # visual.trunk.* remap + HF text conversion (convert.py)

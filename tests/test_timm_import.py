@@ -132,9 +132,14 @@ def test_timm_named_tower_builds():
 
 
 def test_timm_unknown_family_rejected():
-    cfg = CLIPVisionCfg(timm_model_name="convnext_base", image_size=224)
+    # convnext_* now builds natively (models/convnext.py); efficientnet has
+    # no TPU port and must still fail loudly
+    cfg = CLIPVisionCfg(timm_model_name="efficientnet_b0", image_size=224)
     with pytest.raises(NotImplementedError, match="no TPU-native mapping"):
         build_vision_tower(512, cfg)
+    cfg2 = CLIPVisionCfg(timm_model_name="convnext_base", image_size=256)
+    tower = build_vision_tower(640, cfg2)
+    assert type(tower).__name__ == "ConvNeXt"
 
 
 def test_timm_checkpoint_through_load(tmp_path):
