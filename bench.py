@@ -150,7 +150,15 @@ def main():
         # b88 measured reproducibly best (791 vs 787 at b80) under the
         # attn-bf16 + bf16-mu defaults; the b80-96 peak is flat.
         batch = args.batch_size or 88
-        img_size, ctx = 224, 98
+        # shapes follow the model config (convnext_base_w is 256px, biomed
+        # ctx 256, ...); ViT-B-16 default stays 224/98
+        from mrclip_tpu.factory import get_model_config
+
+        mcfg = get_model_config(model_name) or {}
+        img_size = mcfg.get("vision_cfg", {}).get("image_size", 224)
+        if not isinstance(img_size, int):
+            img_size = img_size[0]
+        ctx = mcfg.get("text_cfg", {}).get("context_length", 98)
         steps = args.steps
 
     attn_impl = args.attn_impl

@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Round-2 sweep 16: ConvNeXt-Base-w train throughput (new native family).
+set -u
+cd /root/repo
+RES=tools/r2_bench_results.jsonl
+LOG=tools/r2_bench.log
+
+run() {
+  local tag="$1"; shift
+  echo "=== $(date -u +%H:%M:%S) START $tag : $*" >> "$LOG"
+  out=$(timeout 3600 python bench.py "$@" 2>>"$LOG")
+  rc=$?
+  echo "=== $(date -u +%H:%M:%S) END $tag rc=$rc" >> "$LOG"
+  if [ -n "$out" ]; then
+    echo "{\"tag\": \"$tag\", \"result\": $out}" >> "$RES"
+  else
+    echo "{\"tag\": \"$tag\", \"result\": null, \"rc\": $rc}" >> "$RES"
+  fi
+}
+
+run convnext_b128 --model convnext_base_w --batch-size 128 --steps 30
+echo "=== $(date -u +%H:%M:%S) SWEEP16 DONE" >> "$LOG"
