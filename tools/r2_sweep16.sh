@@ -18,5 +18,5 @@ run() {
   fi
 }
 
-run convnext_b128 --model convnext_base_w --batch-size 128 --steps 30
+run convnext_b64 --model convnext_base_w --batch-size 64 --steps 30
 echo "=== $(date -u +%H:%M:%S) SWEEP16 DONE" >> "$LOG"
