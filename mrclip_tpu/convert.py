@@ -259,6 +259,14 @@ def timm_convnext_to_vision_params(sd: Mapping, **_ignored) -> dict:
     def ln(prefix):
         return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
 
+    if "stages.0.blocks.0.gamma" not in sd:
+        # ConvNeXt-V2 replaces LayerScale gamma with GRN — different math,
+        # not a rename; reject with guidance like the other families.
+        raise NotImplementedError(
+            "checkpoint is not a ConvNeXt-V1 layout (no LayerScale gamma — "
+            "likely ConvNeXt-V2/GRN, which has no TPU-native mapping); "
+            "supported: timm convnext_{tiny,small,base,large,xlarge}"
+        )
     out["stem_conv"] = conv("stem.0.weight", "stem.0.bias")
     out["stem_norm"] = ln("stem.1")
 
@@ -292,10 +300,18 @@ def timm_convnext_to_vision_params(sd: Mapping, **_ignored) -> dict:
                 "gamma": sd[p + "gamma"],
             }
 
-    for cand in ("head.norm", "norm", "norm_pre"):
-        if cand + ".weight" in sd:
-            out["head_norm"] = ln(cand)
-            break
+    if "head.norm.weight" in sd:
+        out["head_norm"] = ln("head.norm")
+    elif "norm_pre.weight" in sd or "norm.weight" in sd:
+        # head_norm_first vintage: LN over the feature map BEFORE pooling —
+        # mean-then-LN != LN-then-mean, so a silent remap would corrupt the
+        # numerics (the native tower norms after pooling).
+        raise NotImplementedError(
+            "timm ConvNeXt checkpoint uses head_norm_first (pre-pool norm); "
+            "the native tower implements the default pool-then-norm head "
+            "(timm NormMlpClassifierHead), which is what the laion "
+            "convnext_base_w checkpoints use"
+        )
 
     import jax
     import jax.numpy as jnp

@@ -136,11 +136,33 @@ def _build_timm_vit_tower(
                 f"timm convnext variant '{tname}' has no TPU-native stage "
                 f"table; supported: {sorted(CONVNEXT_DIMS)}"
             )
+        # The native tower implements exactly avg-pool + bias-free linear
+        # proj (the shipped convnext_base_w checkpoints); reject other
+        # head configurations loudly like the ViT path does.
+        if vision_cfg.timm_pool not in ("avg", ""):
+            raise NotImplementedError(
+                f"timm_pool='{vision_cfg.timm_pool}' unsupported for the "
+                "native ConvNeXt (avg pooling only)"
+            )
+        if vision_cfg.timm_proj not in ("linear", "none"):
+            raise NotImplementedError(
+                f"timm_proj='{vision_cfg.timm_proj}' unsupported for the "
+                "native ConvNeXt (bias-free linear only)"
+            )
+        if vision_cfg.timm_proj_bias:
+            raise NotImplementedError(
+                "timm_proj_bias=True unsupported: the native ConvNeXt "
+                "projection is bias-free"
+            )
+        if remat:
+            raise NotImplementedError(
+                "grad checkpointing is not wired into the ConvNeXt tower "
+                "yet; drop --grad-checkpointing or use a smaller batch"
+            )
         depths, dims = CONVNEXT_DIMS[tname]
-        image_size = vision_cfg.image_size
         return ConvNeXt(
-            depths=depths, dims=dims, output_dim=embed_dim,
-            image_size=image_size if isinstance(image_size, int) else image_size[0],
+            depths=depths, dims=dims,
+            output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
             dtype=dtype, name=name,
         )
     m = _re.match(r"vit_(tiny|small|base|large|huge)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$", tname)

@@ -73,7 +73,6 @@ class ConvNeXt(nn.Module):
     depths: Sequence[int] = (3, 3, 27, 3)
     dims: Sequence[int] = (128, 256, 512, 1024)
     output_dim: Optional[int] = 640
-    image_size: int = 256
     ls_init_value: float = 1e-6
     dtype: Dtype = jnp.float32
 

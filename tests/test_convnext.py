@@ -95,7 +95,7 @@ def test_convnext_import_forward_parity():
     with torch.no_grad():
         want = _torch_convnext_forward(sd, images)
 
-    tower = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=None, image_size=RES)
+    tower = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=None)
     params = timm_convnext_to_vision_params(sd)
     got = tower.apply({"params": params}, jnp.asarray(images))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
