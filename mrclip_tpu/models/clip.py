@@ -154,16 +154,11 @@ def _build_timm_vit_tower(
                 "timm_proj_bias=True unsupported: the native ConvNeXt "
                 "projection is bias-free"
             )
-        if remat:
-            raise NotImplementedError(
-                "grad checkpointing is not wired into the ConvNeXt tower "
-                "yet; drop --grad-checkpointing or use a smaller batch"
-            )
         depths, dims = CONVNEXT_DIMS[tname]
         return ConvNeXt(
             depths=depths, dims=dims,
             output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
-            dtype=dtype, name=name,
+            remat=remat, dtype=dtype, name=name,
         )
     m = _re.match(r"vit_(tiny|small|base|large|huge)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$", tname)
     if not m:

@@ -74,10 +74,14 @@ class ConvNeXt(nn.Module):
     dims: Sequence[int] = (128, 256, 512, 1024)
     output_dim: Optional[int] = 640
     ls_init_value: float = 1e-6
+    remat: bool = False  # per-block jax.checkpoint: b128@256px OOMs without
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        block_cls = (
+            nn.remat(ConvNeXtBlock, prevent_cse=False) if self.remat else ConvNeXtBlock
+        )
         x = x.astype(self.dtype)
         x = nn.Conv(
             features=self.dims[0], kernel_size=(4, 4), strides=4,
@@ -92,7 +96,7 @@ class ConvNeXt(nn.Module):
                     dtype=self.dtype, name=f"downsample_{s}_conv",
                 )(x)
             for b in range(depth):
-                x = ConvNeXtBlock(
+                x = block_cls(
                     dim=dim, ls_init_value=self.ls_init_value,
                     dtype=self.dtype, name=f"stages_{s}_blocks_{b}",
                 )(x)

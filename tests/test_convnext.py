@@ -126,3 +126,23 @@ def test_convnext_base_w_config_builds():
     out = jax.eval_shape(lambda v: model.apply(v, imgs, toks), shapes)
     assert out["image_features"].shape == (2, 640)
     assert out["text_features"].shape == (2, 640)
+
+
+def test_convnext_remat_matches_no_remat():
+    """Per-block jax.checkpoint must not change the forward numerics."""
+    sd = _tiny_convnext_sd(seed=5)
+    params = timm_convnext_to_vision_params(sd)
+    rng = np.random.RandomState(6)
+    images = jnp.asarray(rng.rand(2, RES, RES, 3), jnp.float32)
+    plain = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=None)
+    rematd = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=None, remat=True)
+    a = plain.apply({"params": params}, images)
+    b = rematd.apply({"params": params}, images)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # gradient flows through the remat wrapper
+    def loss(p):
+        return jnp.sum(rematd.apply({"params": p}, images) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(jax.tree.map(np.asarray, g)))
