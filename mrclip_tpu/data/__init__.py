@@ -115,6 +115,15 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
     if getattr(args, "native_loader", False):
         from .native_loader import NativeBatchLoader
 
+        if is_train and getattr(args, "aug_cfg", None):
+            from ..transforms import AugmentationCfg, validate_aug_cfg
+
+            aug = args.aug_cfg
+            validate_aug_cfg(
+                AugmentationCfg(**aug) if isinstance(aug, dict) else aug,
+                backend="native",
+            )
+
         size = getattr(args, "image_size", 224)
         loader = NativeBatchLoader(
             dataset,

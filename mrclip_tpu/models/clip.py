@@ -345,12 +345,20 @@ class CLIP(nn.Module):
             name="text",
         )
         shape = (1,) if self.nonscalar_logit_scale else ()
-        init = lambda key: jnp.full(shape, self.init_logit_scale, jnp.float32)
         if self.logit_scale_trainable:
-            self.logit_scale = self.param("logit_scale", lambda key: init(key))
+            self.logit_scale = self.param(
+                "logit_scale",
+                lambda key: jnp.full(shape, self.init_logit_scale, jnp.float32),
+            )
         else:
             # Frozen temperature: stored as a non-trainable constant variable.
-            self.logit_scale = self.variable("constants", "logit_scale", lambda: init(None)).value
+            # The reference hard-codes ln(10) here regardless of init_logit_scale
+            # (model.py:254-258: `torch.ones(lshape) * np.log(10)`), so a frozen
+            # run trains at scale 10, not 1/0.07.
+            self.logit_scale = self.variable(
+                "constants", "logit_scale",
+                lambda: jnp.full(shape, math.log(10.0), jnp.float32),
+            ).value
         if self.init_logit_bias is not None:
             self.logit_bias = self.param(
                 "logit_bias", lambda key: jnp.full(shape, self.init_logit_bias, jnp.float32)

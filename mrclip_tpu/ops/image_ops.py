@@ -25,6 +25,8 @@ __all__ = [
     "normalize_images",
     "resize_bilinear",
     "affine_sample",
+    "color_jitter_batch",
+    "grayscale_batch",
     "random_augment_batch",
     "eval_preprocess_batch",
 ]
@@ -183,6 +185,86 @@ def _gaussian_blur3(images: jax.Array, sigma: jax.Array) -> jax.Array:
     )
 
 
+def _luminance(x: jax.Array) -> jax.Array:
+    """ITU-R 601 luma, torchvision rgb_to_grayscale weights. [..., 3] -> [..., 1]."""
+    w = jnp.asarray([0.2989, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def _rgb_to_hsv(x: jax.Array) -> jax.Array:
+    """[..., 3] in [0,1] -> HSV (h in turns)."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe_d = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(
+        mx == r, (g - b) / safe_d,
+        jnp.where(mx == g, 2.0 + (b - r) / safe_d, 4.0 + (r - g) / safe_d),
+    )
+    h = jnp.where(d > 0, (h / 6.0) % 1.0, 0.0)
+    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb(x: jax.Array) -> jax.Array:
+    h, s, v = x[..., 0], x[..., 1], x[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter_batch(
+    x: jax.Array,
+    key: jax.Array,
+    jitter: Tuple[float, float, float, float],
+    p: float,
+) -> jax.Array:
+    """Batched color jitter on [B,H,W,3] floats in [0,1]; per-sample factors
+    and apply mask. torchvision-equivalent adjust fns in fixed order
+    brightness -> contrast -> saturation -> hue (the host/PIL backend
+    randomizes the order per sample; fixed order here keeps the device
+    program static — documented divergence)."""
+    bright, contrast, sat, hue = jitter
+    b = x.shape[0]
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
+    orig = x
+
+    def factors(k, strength):
+        return jax.random.uniform(
+            k, (b, 1, 1, 1), minval=max(0.0, 1.0 - strength), maxval=1.0 + strength
+        )
+
+    if bright:
+        x = jnp.clip(x * factors(kb, bright), 0.0, 1.0)
+    if contrast:
+        mean_gray = jnp.mean(_luminance(x), axis=(1, 2), keepdims=True)
+        x = jnp.clip(mean_gray + factors(kc, contrast) * (x - mean_gray), 0.0, 1.0)
+    if sat:
+        gray = _luminance(x)
+        x = jnp.clip(gray + factors(ks, sat) * (x - gray), 0.0, 1.0)
+    if hue:
+        shift = jax.random.uniform(kh, (b, 1, 1), minval=-hue, maxval=hue)
+        hsv = _rgb_to_hsv(x)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
+        x = _hsv_to_rgb(hsv)
+    apply = jax.random.bernoulli(kp, p, (b, 1, 1, 1))
+    return jnp.where(apply, x, orig)
+
+
+def grayscale_batch(x: jax.Array, key: jax.Array, p: float) -> jax.Array:
+    """Random grayscale (3-channel luma) with per-sample probability p."""
+    apply = jax.random.bernoulli(key, p, (x.shape[0], 1, 1, 1))
+    return jnp.where(apply, jnp.broadcast_to(_luminance(x), x.shape), x)
+
+
 def random_augment_batch(
     images: jax.Array,
     key: jax.Array,
@@ -194,6 +276,9 @@ def random_augment_batch(
     affine_scale: Tuple[float, float] = (0.8, 1.2),
     blur_sigma: Tuple[float, float] = (0.1, 2.0),
     hflip_prob: float = 0.5,
+    color_jitter: Tuple[float, float, float, float] = None,
+    color_jitter_prob: float = 0.0,
+    gray_scale_prob: float = 0.0,
     mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
     std: Tuple[float, ...] = OPENAI_DATASET_STD,
 ) -> jax.Array:
@@ -204,7 +289,7 @@ def random_augment_batch(
     """
     b = images.shape[0]
     in_hw = images.shape[1:3]
-    k_crop, k_aff, k_flip, k_blur = jax.random.split(key, 4)
+    k_crop, k_aff, k_flip, k_blur, k_jit, k_gray = jax.random.split(key, 6)
 
     crop_keys = jax.random.split(k_crop, b)
     aff_keys = jax.random.split(k_aff, b)
@@ -232,6 +317,12 @@ def random_augment_batch(
     x = _gaussian_blur3(x, sigma)
     if images.dtype == jnp.uint8:
         x = x / 255.0
+    # Optional color extras after geometry, matching the reference's placement
+    # (transform.py:349-357), in [0,1] space.
+    if color_jitter_prob and color_jitter is not None:
+        x = color_jitter_batch(x, k_jit, tuple(color_jitter), color_jitter_prob)
+    if gray_scale_prob:
+        x = grayscale_batch(x, k_gray, gray_scale_prob)
     return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
 
 

@@ -168,7 +168,9 @@ def train_one_epoch(
         end = time.time()
 
         if i % args.log_every_n_steps == 0 or i == num_batches - 1:
-            jax.block_until_ready(state.params["logit_scale"])
+            # Sync point before reading wall-clock (logit_scale lives in
+            # constants, not params, when frozen via --logitscaletrainable).
+            jax.block_until_ready(state.params.get("logit_scale", state.step))
             num_samples = (i + 1) * args.batch_size
             pct = 100.0 * (i + 1) / num_batches
             samples_per_s = args.accum_freq * args.batch_size * world_size / max(batch_time_m.val, 1e-9)
@@ -415,7 +417,10 @@ def test_metrics(model, state, data, args, tokenizer=None) -> dict:
     img = np.concatenate(img_feats)
     img_labels = np.concatenate(img_labels)[: len(img)]
 
-    scale = float(np.exp(np.asarray(state.params.get("logit_scale", 0.0))))
+    _ls = state.params.get(
+        "logit_scale", (state.constants or {}).get("logit_scale", 0.0)
+    )
+    scale = float(np.exp(np.asarray(_ls)))
     sims = scale * img @ unique_txt.T  # [N, U]
     order = np.argsort(-sims, axis=1, kind="stable")
 

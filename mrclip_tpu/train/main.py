@@ -28,6 +28,7 @@ from .. import checkpoint as ckpt
 from ..factory import create_loss, create_model_and_transforms, get_model_config, get_tokenizer
 from ..data import get_data
 from ..ops.image_ops import random_augment_batch
+from ..transforms import AugmentationCfg, validate_aug_cfg
 from ..parallel import (
     build_train_step,
     create_mesh,
@@ -238,7 +239,20 @@ def main(args=None):
         size = model.vision_cfg["image_size"] if isinstance(model.vision_cfg, dict) else 224
         if isinstance(size, int):
             size = (size, size)
-        augment_fn = jax.jit(partial(random_augment_batch, out_size=tuple(size)))
+        aug = AugmentationCfg(**args.aug_cfg) if isinstance(args.aug_cfg, dict) else (
+            args.aug_cfg or AugmentationCfg()
+        )
+        validate_aug_cfg(aug, backend="device")
+        augment_fn = jax.jit(
+            partial(
+                random_augment_batch,
+                out_size=tuple(size),
+                crop_scale=tuple(aug.scale or (0.9, 1.0)),
+                color_jitter=tuple(aug.color_jitter) if aug.color_jitter else None,
+                color_jitter_prob=aug.color_jitter_prob or 0.0,
+                gray_scale_prob=aug.gray_scale_prob or 0.0,
+            )
+        )
 
     writer = None
     if "tensorboard" in (args.report_to or ""):

@@ -164,6 +164,120 @@ class EvalTransform:
         return _normalize(np.asarray(img), cfg.mean, cfg.std)
 
 
+def _adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
+    """torchvision F.adjust_hue PIL semantics: shift H in HSV space by
+    hue_factor (in turns, |h| <= 0.5), uint8 wraparound."""
+    if abs(hue_factor) > 0.5:
+        raise ValueError(f"hue_factor {hue_factor} not in [-0.5, 0.5]")
+    if img.mode in ("L", "1", "I", "F"):
+        return img
+    h, s, v = img.convert("HSV").split()
+    np_h = np.asarray(h, dtype=np.uint8)
+    np_h = (np_h.astype(np.int16) + int(round(hue_factor * 255))).astype(np.uint8)
+    hsv = Image.merge("HSV", (Image.fromarray(np_h, "L"), s, v))
+    return hsv.convert("RGB")
+
+
+class ColorJitter:
+    """torchvision ColorJitter on PIL images (reference wraps it with an
+    apply-probability at transform.py:242-256).
+
+    brightness/contrast/saturation: scalar b -> factor ~ U[max(0,1-b), 1+b]
+    (PIL ImageEnhance, matching torchvision's PIL backend); hue: scalar h ->
+    shift ~ U[-h, h]. The four ops run in a random order per call, like
+    torchvision's randperm(4).
+    """
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0, p=0.8):
+        assert 0.0 <= p <= 1.0
+        self.p = p
+        self.brightness = self._range(brightness, "brightness")
+        self.contrast = self._range(contrast, "contrast")
+        self.saturation = self._range(saturation, "saturation")
+        self.hue = self._range(hue, "hue", center=0.0, bound=0.5)
+
+    @staticmethod
+    def _range(value, name, center=1.0, bound=float("inf")):
+        if value is None:
+            return None
+        if isinstance(value, (tuple, list)):
+            lo, hi = float(value[0]), float(value[1])
+        else:
+            value = float(value)
+            lo, hi = center - value, center + value
+            lo = max(lo, 0.0 if center == 1.0 else -bound)
+        if lo == hi == center:
+            return None
+        return (max(lo, -bound), min(hi, bound))
+
+    def _jitter(self, img: Image.Image) -> Image.Image:
+        from PIL import ImageEnhance
+
+        ops = list(range(4))
+        random.shuffle(ops)
+        for idx in ops:
+            if idx == 0 and self.brightness:
+                img = ImageEnhance.Brightness(img).enhance(random.uniform(*self.brightness))
+            elif idx == 1 and self.contrast:
+                img = ImageEnhance.Contrast(img).enhance(random.uniform(*self.contrast))
+            elif idx == 2 and self.saturation:
+                img = ImageEnhance.Color(img).enhance(random.uniform(*self.saturation))
+            elif idx == 3 and self.hue:
+                img = _adjust_hue(img, random.uniform(*self.hue))
+        return img
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        if random.random() < self.p:
+            return self._jitter(img)
+        return img
+
+
+def _to_grayscale3(img: Image.Image) -> Image.Image:
+    """torchvision Grayscale(num_output_channels=3) on PIL: L replicated."""
+    return img.convert("L").convert("RGB")
+
+
+def validate_aug_cfg(aug: AugmentationCfg, backend: str = "host") -> None:
+    """Reject unusable augmentation requests loudly instead of silently
+    dropping them (reference warns for non-timm leftovers, transform.py:363).
+
+    backend: 'host' (PIL TrainTransform), 'device' (random_augment_batch),
+    'native' (C++ loader — geometry/blur only, no color extras).
+    """
+    if aug.use_timm:
+        raise NotImplementedError(
+            "aug_cfg use_timm=True requests the timm training pipeline "
+            "(reference transform.py:310-332); timm is not available in this "
+            "build — use the native MR-CLIP chain (drop use_timm)."
+        )
+    if aug.re_prob or aug.re_count:
+        raise NotImplementedError(
+            "aug_cfg re_prob/re_count (random erasing) are timm-pipeline-only "
+            "knobs in the reference (transform.py:61-72) and are not applied "
+            "by the MR-CLIP chain; remove them or implement random erasing."
+        )
+    if aug.color_jitter_prob:
+        if aug.color_jitter is None or (
+            isinstance(aug.color_jitter, (tuple, list)) and len(aug.color_jitter) != 4
+        ) or not isinstance(aug.color_jitter, (tuple, list)):
+            raise ValueError(
+                "color_jitter_prob requires color_jitter=(brightness, contrast, "
+                "saturation, hue) 4-tuple (reference transform.py:349-352)"
+            )
+    elif aug.color_jitter is not None:
+        raise ValueError(
+            "aug_cfg color_jitter without color_jitter_prob is only consumed "
+            "by the timm pipeline (unavailable); set color_jitter_prob to "
+            "apply jitter in the MR-CLIP chain (reference transform.py:349-352)"
+        )
+    if backend == "native" and (aug.color_jitter_prob or aug.gray_scale_prob):
+        raise NotImplementedError(
+            "--native-loader implements the geometry+blur chain only; "
+            "color_jitter/gray_scale extras need the host transform "
+            "(workers) or --device-augment path."
+        )
+
+
 class TrainTransform:
     """MR-CLIP train augmentation chain, host backend
     (reference transform.py:334-365). Per-sample PIL ops; the batched device
@@ -172,8 +286,14 @@ class TrainTransform:
     def __init__(self, cfg: PreprocessCfg, aug: Optional[AugmentationCfg] = None):
         self.cfg = cfg
         self.aug = aug or AugmentationCfg()
+        validate_aug_cfg(self.aug, backend="host")
         self.size = _to_2tuple(cfg.size)
         self.interp = _PIL_INTERP.get(cfg.interpolation, Image.BICUBIC)
+        self.color_jitter = None
+        if self.aug.color_jitter_prob:
+            self.color_jitter = ColorJitter(
+                *self.aug.color_jitter, p=self.aug.color_jitter_prob
+            )
 
     def _random_resized_crop(self, img: Image.Image) -> Image.Image:
         scale = self.aug.scale or (0.9, 1.0)
@@ -216,6 +336,11 @@ class TrainTransform:
         img = img.filter(ImageFilter.GaussianBlur(radius=random.uniform(0.1, 2.0)))
         if random.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        # Optional extras AFTER flip, matching reference order (transform.py:349-357).
+        if self.color_jitter is not None:
+            img = self.color_jitter(img)
+        if self.aug.gray_scale_prob and random.random() < self.aug.gray_scale_prob:
+            img = _to_grayscale3(img)
         return _normalize(np.asarray(img), self.cfg.mean, self.cfg.std)
 
 

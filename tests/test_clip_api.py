@@ -53,3 +53,34 @@ def test_frozen_logit_scale():
     model, variables = create_model("ViT-B-32-mini", logit_scale_trainable=False)
     assert "logit_scale" not in variables["params"]
     assert "logit_scale" in variables.get("constants", {})
+    # Reference hard-codes ln(10) for the frozen buffer (model.py:254-258),
+    # NOT init_logit_scale=ln(1/0.07): a --logitscaletrainable run trains at
+    # temperature scale 10.
+    np.testing.assert_allclose(
+        np.asarray(variables["constants"]["logit_scale"]), np.log(10.0), rtol=1e-6
+    )
+
+
+def test_logitscaletrainable_cli_trains_at_scale_10(tmp_path):
+    """--logitscaletrainable freezes the temperature at ln(10) (reference
+    model.py:254-258) and it survives training unchanged."""
+    from mrclip_tpu.train.main import main as train_main
+
+    state = train_main([
+        "--dataset-type", "synthetic", "--train-num-samples", "16",
+        "--model", "ViT-B-32-mini", "--batch-size", "8", "--epochs", "1",
+        "--multipositiveloss", "--precision", "fp32", "--workers", "0",
+        "--logs", str(tmp_path / "logs"), "--name", "ls", "--seed", "7",
+        "--lr", "1e-2", "--save-frequency", "0", "--logitscaletrainable",
+    ])
+    assert "logit_scale" not in state.params
+    np.testing.assert_allclose(
+        np.asarray(state.constants["logit_scale"]), np.log(10.0), rtol=1e-6
+    )
+
+
+def test_trainable_logit_scale_keeps_init_value():
+    model, variables = create_model("ViT-B-32-mini")
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["logit_scale"]), np.log(1 / 0.07), rtol=1e-6
+    )
