@@ -42,6 +42,7 @@ class NativeBatchLoader:
         drop_last: bool = True,
         augment: bool = False,
         eval_resize_mode: str = "cover",
+        eval_interpolation: str = "bicubic",
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -55,6 +56,7 @@ class NativeBatchLoader:
         self.drop_last = drop_last
         self.augment = augment
         self.eval_resize_mode = eval_resize_mode
+        self.eval_interpolation = eval_interpolation
         self.seed = seed
         self._epoch = 0
         self._batch_counter = 0
@@ -98,6 +100,7 @@ class NativeBatchLoader:
             images, status = load_batch(
                 paths, self.canvas_size, num_threads=self.num_threads,
                 resize_mode=self.eval_resize_mode,
+                interpolation=self.eval_interpolation,
             )
         batch = {
             "images": images,

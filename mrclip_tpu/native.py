@@ -33,6 +33,7 @@ def _get_lib():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,  # resize mode
+            ctypes.c_int,  # interp: 0=bilinear, 1=bicubic
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
         ]
@@ -76,6 +77,7 @@ def decode_png(data: bytes, channels: int = 3) -> Optional[np.ndarray]:
 
 # transforms.EvalTransform resize_mode -> native enum
 _RESIZE_MODES = {"squash": 0, "cover": 1, "shortest": 1, "contain": 2, "longest": 2}
+_INTERP = {"bilinear": 0, "bicubic": 1}
 
 
 def load_batch(
@@ -84,12 +86,15 @@ def load_batch(
     channels: int = 3,
     num_threads: int = 0,
     resize_mode: str = "squash",
+    interpolation: str = "bicubic",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+resize a list of PNGs into [N, H, W, C] uint8.
 
     `resize_mode`: 'squash' stretches to the canvas; 'shortest'/'cover' does
     shortest-edge resize + center crop (EvalTransform semantics, reference
     transform.py:366-397); 'longest'/'contain' fits + zero-pads.
+    `interpolation`: bicubic (reference eval default) or bilinear; both are
+    PIL-equivalent antialiased resamplers in the C++ path.
 
     Returns (batch, status) — status[i] == 0 on success; failed rows are
     zeroed (matching the data pipeline's swallow-and-continue posture,
@@ -99,11 +104,13 @@ def load_batch(
     n = len(paths)
     oh, ow = out_size
     mode = _RESIZE_MODES[resize_mode]
+    interp = _INTERP[interpolation]
     out = np.zeros((n, oh, ow, channels), np.uint8)
     status = np.zeros((n,), np.int32)
     if lib is None:
         from PIL import Image
 
+        pil_interp = Image.BICUBIC if interp == 1 else Image.BILINEAR
         for i, p in enumerate(paths):
             try:
                 img = Image.open(p)
@@ -111,7 +118,7 @@ def load_batch(
                 w, h = img.size
                 if mode == 1:  # cover: shortest-edge + center crop
                     scale = max(oh / h, ow / w)
-                    img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+                    img = img.resize((round(w * scale), round(h * scale)), pil_interp)
                     left = (img.size[0] - ow) // 2
                     top = (img.size[1] - oh) // 2
                     img = img.crop((left, top, left + ow, top + oh))
@@ -119,7 +126,7 @@ def load_batch(
                 elif mode == 2:  # contain: longest-edge + pad
                     scale = min(oh / h, ow / w)
                     dh, dw = round(h * scale), round(w * scale)
-                    img = img.resize((dw, dh), Image.BILINEAR)
+                    img = img.resize((dw, dh), pil_interp)
                     arr = np.asarray(img)
                     if arr.ndim == 2:
                         arr = arr[..., None]
@@ -128,7 +135,7 @@ def load_batch(
                     canvas[t : t + dh, l : l + dw] = arr
                     arr = canvas
                 else:
-                    img = img.resize((ow, oh), Image.BILINEAR)
+                    img = img.resize((ow, oh), pil_interp)
                     arr = np.asarray(img)
                 out[i] = arr if arr.ndim == 3 else arr[..., None]
             except Exception:
@@ -144,6 +151,7 @@ def load_batch(
         ow,
         channels,
         mode,
+        interp,
         num_threads,
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )

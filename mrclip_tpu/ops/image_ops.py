@@ -330,16 +330,19 @@ def eval_preprocess_batch(
     images: jax.Array,
     *,
     out_size: Tuple[int, int] = (224, 224),
+    method: str = "bicubic",
     mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
     std: Tuple[float, ...] = OPENAI_DATASET_STD,
 ) -> jax.Array:
     """Deterministic device-side eval path: resize(shortest) -> center crop ->
-    normalize, for fixed-size input batches."""
+    normalize, for fixed-size input batches. Default bicubic+antialias
+    matches the reference EvalTransform (transform.py:366-397, PIL BICUBIC
+    = Keys a=-0.5, same kernel as jax.image 'bicubic')."""
     b, h, w, c = images.shape
     oh, ow = out_size
     scale = jnp.maximum(oh / h, ow / w)
     rh, rw = int(round(h * float(scale))), int(round(w * float(scale)))
-    x = jax.image.resize(images.astype(jnp.float32), (b, rh, rw, c), "bilinear", antialias=True)
+    x = jax.image.resize(images.astype(jnp.float32), (b, rh, rw, c), method, antialias=True)
     top, left = (rh - oh) // 2, (rw - ow) // 2
     x = x[:, top : top + oh, left : left + ow]
     if images.dtype == jnp.uint8:

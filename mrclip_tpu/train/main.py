@@ -308,7 +308,8 @@ def main(args=None):
             logging.info(f"Saved checkpoint at epoch {completed_epoch}")
 
         if "val" in data and (
-            completed_epoch % args.val_frequency == 0 or completed_epoch == args.epochs
+            (args.val_frequency and completed_epoch % args.val_frequency == 0)
+            or completed_epoch == args.epochs
         ):
             if vision_only:
                 evaluate_vision_only(model, state, data, completed_epoch, args)

@@ -32,35 +32,118 @@ bool read_file(const char* path, std::vector<uint8_t>* buf) {
   return got == (size_t)size;
 }
 
-// Bilinear resize of a float source window [src_y0, src_y0+win_h) x
+// --- PIL-equivalent separable resampling (Imaging/Resample.c semantics) ---
+//
+// The reference eval path is torchvision Resize on PIL images, which is
+// PIL's antialiased separable convolution: filter support scales with the
+// downscale factor and coefficients are normalized per output pixel. The
+// bicubic kernel is Keys a=-0.5, matching PIL/torchvision BICUBIC
+// (reference transform.py:366-397 uses InterpolationMode.BICUBIC).
+
+inline float filter_bilinear(float x) {
+  x = std::fabs(x);
+  return x < 1.f ? 1.f - x : 0.f;
+}
+
+inline float filter_bicubic(float x) {
+  const float a = -0.5f;
+  x = std::fabs(x);
+  if (x < 1.f) return ((a + 2.f) * x - (a + 3.f)) * x * x + 1.f;
+  if (x < 2.f) return (((x - 5.f) * x + 8.f) * x - 4.f) * a;
+  return 0.f;
+}
+
+enum Interp { kBilinear = 0, kBicubic = 1 };
+
+// Per-output-pixel bounds + normalized coefficients for one axis, resampling
+// the source box [box0, box1) to out_size. Returns the coeff row stride.
+int precompute_coeffs(int in_size, float box0, float box1, int out_size,
+                      int interp, std::vector<int>* bounds,
+                      std::vector<float>* kk) {
+  const float support_base = interp == kBicubic ? 2.f : 1.f;
+  float scale = (box1 - box0) / out_size;
+  float filterscale = scale < 1.f ? 1.f : scale;
+  float support = support_base * filterscale;
+  int ksize = (int)std::ceil(support) * 2 + 1;
+  bounds->resize((size_t)out_size * 2);
+  kk->assign((size_t)out_size * ksize, 0.f);
+  for (int xx = 0; xx < out_size; ++xx) {
+    float center = box0 + (xx + 0.5f) * scale;
+    int xmin = (int)(center - support + 0.5f);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5f);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    float* k = kk->data() + (size_t)xx * ksize;
+    float ww = 0.f;
+    for (int x = 0; x < xmax; ++x) {
+      float w = interp == kBicubic
+                    ? filter_bicubic((x + xmin - center + 0.5f) / filterscale)
+                    : filter_bilinear((x + xmin - center + 0.5f) / filterscale);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.f)
+      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    (*bounds)[(size_t)xx * 2] = xmin;
+    (*bounds)[(size_t)xx * 2 + 1] = xmax;
+  }
+  return ksize;
+}
+
+inline uint8_t clamp_u8(float v) {
+  return v <= 0.f ? 0 : (v >= 255.f ? 255 : (uint8_t)(v + 0.5f));
+}
+
+// Antialiased resize of the source window [src_y0, src_y0+win_h) x
 // [src_x0, src_x0+win_w) of `src` into a dst sub-rectangle of a row-major
 // [H, out_row_w] canvas. The window form expresses all three eval resize
-// modes (squash / shortest-edge+crop / longest+pad) as one sampling loop.
-void resize_window_bilinear(const uint8_t* src, int sh, int sw, int c,
-                            float src_y0, float src_x0, float win_h,
-                            float win_w, uint8_t* dst, int out_row_w,
-                            int dst_y0, int dst_x0, int dh, int dw) {
-  const float ys = win_h / dh;
-  const float xs = win_w / dw;
+// modes (squash / shortest-edge+crop / longest+pad) as one resample.
+void resize_window(const uint8_t* src, int sh, int sw, int c, float src_y0,
+                   float src_x0, float win_h, float win_w, uint8_t* dst,
+                   int out_row_w, int dst_y0, int dst_x0, int dh, int dw,
+                   int interp) {
+  std::vector<int> xb, yb;
+  std::vector<float> xk, yk;
+  int xks = precompute_coeffs(sw, src_x0, src_x0 + win_w, dw, interp, &xb, &xk);
+  int yks = precompute_coeffs(sh, src_y0, src_y0 + win_h, dh, interp, &yb, &yk);
+
+  // horizontal pass over only the source rows the vertical pass will touch
+  int ymin_all = sh, ymax_all = 0;
   for (int y = 0; y < dh; ++y) {
-    float fy = src_y0 + (y + 0.5f) * ys - 0.5f;
-    if (fy < 0) fy = 0;
-    if (fy > sh - 1) fy = (float)(sh - 1);
-    int y0 = (int)fy;
-    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
-    float wy = fy - y0;
+    if (yb[(size_t)y * 2] < ymin_all) ymin_all = yb[(size_t)y * 2];
+    int hi = yb[(size_t)y * 2] + yb[(size_t)y * 2 + 1];
+    if (hi > ymax_all) ymax_all = hi;
+  }
+  if (ymax_all <= ymin_all) return;
+  int rows = ymax_all - ymin_all;
+  std::vector<float> tmp((size_t)rows * dw * c);
+  for (int y = 0; y < rows; ++y) {
+    const uint8_t* srow = src + ((size_t)(ymin_all + y) * sw) * c;
+    float* trow = tmp.data() + (size_t)y * dw * c;
+    for (int x = 0; x < dw; ++x) {
+      int x0 = xb[(size_t)x * 2], xn = xb[(size_t)x * 2 + 1];
+      const float* k = xk.data() + (size_t)x * xks;
+      for (int ch = 0; ch < c; ++ch) {
+        float acc = 0.f;
+        for (int i = 0; i < xn; ++i) acc += srow[(size_t)(x0 + i) * c + ch] * k[i];
+        // PIL rounds the horizontal pass to uint8 before the vertical pass
+        // (Resample.c 8bpc path); mirror that for bit-level closeness.
+        trow[(size_t)x * c + ch] = (float)clamp_u8(acc);
+      }
+    }
+  }
+  // vertical pass into the destination canvas
+  for (int y = 0; y < dh; ++y) {
+    int y0 = yb[(size_t)y * 2] - ymin_all, yn = yb[(size_t)y * 2 + 1];
+    const float* k = yk.data() + (size_t)y * yks;
     uint8_t* row = dst + ((size_t)(dst_y0 + y) * out_row_w + dst_x0) * c;
     for (int x = 0; x < dw; ++x) {
-      float fx = src_x0 + (x + 0.5f) * xs - 0.5f;
-      if (fx < 0) fx = 0;
-      if (fx > sw - 1) fx = (float)(sw - 1);
-      int x0 = (int)fx;
-      int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
-      float wx = fx - x0;
       for (int ch = 0; ch < c; ++ch) {
-        float top = src[(y0 * sw + x0) * c + ch] * (1 - wx) + src[(y0 * sw + x1) * c + ch] * wx;
-        float bot = src[(y1 * sw + x0) * c + ch] * (1 - wx) + src[(y1 * sw + x1) * c + ch] * wx;
-        row[(size_t)x * c + ch] = (uint8_t)(top * (1 - wy) + bot * wy + 0.5f);
+        float acc = 0.f;
+        for (int i = 0; i < yn; ++i)
+          acc += tmp[((size_t)(y0 + i) * dw + x) * c + ch] * k[i];
+        row[(size_t)x * c + ch] = clamp_u8(acc);
       }
     }
   }
@@ -75,15 +158,25 @@ enum ResizeMode {
 };
 
 void resize_into_canvas(const uint8_t* src, int h, int w, int c, uint8_t* dst,
-                        int out_h, int out_w, int mode) {
+                        int out_h, int out_w, int mode, int interp) {
   if (mode == kCover) {
+    // Replicate the reference's exact two-stage geometry (torchvision
+    // Resize -> CenterCrop on PIL): resize to ROUNDED integer dims (so the
+    // effective per-axis scale is rh/h, not the ideal cover scale), then
+    // integer-offset center crop. Expressed as one source-window resample:
+    // output row y samples src at (y + top + 0.5) * h/rh, i.e. box
+    // [top*h/rh, (top+out_h)*h/rh).
     float scale = (float)out_h / h;
     float sw_scale = (float)out_w / w;
     if (sw_scale > scale) scale = sw_scale;  // cover: max scale
-    float win_h = out_h / scale, win_w = out_w / scale;
-    float y0 = 0.5f * (h - win_h), x0 = 0.5f * (w - win_w);
-    resize_window_bilinear(src, h, w, c, y0, x0, win_h, win_w, dst, out_w, 0,
-                           0, out_h, out_w);
+    int rh = (int)(h * scale + 0.5f), rw = (int)(w * scale + 0.5f);
+    if (rh < out_h) rh = out_h;
+    if (rw < out_w) rw = out_w;
+    int top = (rh - out_h) / 2, left = (rw - out_w) / 2;
+    float y0 = (float)top * h / rh, x0 = (float)left * w / rw;
+    float win_h = (float)out_h * h / rh, win_w = (float)out_w * w / rw;
+    resize_window(src, h, w, c, y0, x0, win_h, win_w, dst, out_w, 0, 0, out_h,
+                  out_w, interp);
   } else if (mode == kContain) {
     float scale = (float)out_h / h;
     float sw_scale = (float)out_w / w;
@@ -92,11 +185,11 @@ void resize_into_canvas(const uint8_t* src, int h, int w, int c, uint8_t* dst,
     int dw = (int)(w * scale + 0.5f);
     if (dh > out_h) dh = out_h;
     if (dw > out_w) dw = out_w;
-    resize_window_bilinear(src, h, w, c, 0.f, 0.f, (float)h, (float)w, dst,
-                           out_w, (out_h - dh) / 2, (out_w - dw) / 2, dh, dw);
+    resize_window(src, h, w, c, 0.f, 0.f, (float)h, (float)w, dst, out_w,
+                  (out_h - dh) / 2, (out_w - dw) / 2, dh, dw, interp);
   } else {  // kSquash
-    resize_window_bilinear(src, h, w, c, 0.f, 0.f, (float)h, (float)w, dst,
-                           out_w, 0, 0, out_h, out_w);
+    resize_window(src, h, w, c, 0.f, 0.f, (float)h, (float)w, dst, out_w, 0,
+                  0, out_h, out_w, interp);
   }
 }
 
@@ -107,11 +200,13 @@ extern "C" {
 // Decode `n` PNG files into out[N, out_h, out_w, channels] uint8, resizing
 // each image by `mode`: 0 = full-image squash, 1 = shortest-edge resize +
 // center crop (the EvalTransform default; reference transform.py:366-397),
-// 2 = longest-edge resize + centered zero padding. `status[i]` gets 0 on
-// success, the decoder's error code otherwise (row left zeroed).
+// 2 = longest-edge resize + centered zero padding. `interp`: 0 = bilinear,
+// 1 = bicubic (PIL-equivalent antialiased resampling either way; the
+// reference eval default is bicubic). `status[i]` gets 0 on success, the
+// decoder's error code otherwise (row left zeroed).
 void mrclip_load_batch(const char** paths, int n, uint8_t* out, int out_h,
-                       int out_w, int channels, int mode, int num_threads,
-                       int* status) {
+                       int out_w, int channels, int mode, int interp,
+                       int num_threads, int* status) {
   std::atomic<int> next{0};
   const size_t out_stride = (size_t)out_h * out_w * channels;
 
@@ -137,7 +232,8 @@ void mrclip_load_batch(const char** paths, int n, uint8_t* out, int out_h,
                                  pixels.data(), channels, &w, &h);
       status[i] = rc;
       if (rc != 0) continue;
-      resize_into_canvas(pixels.data(), h, w, channels, dst, out_h, out_w, mode);
+      resize_into_canvas(pixels.data(), h, w, channels, dst, out_h, out_w,
+                         mode, interp);
     }
   };
 

@@ -78,19 +78,22 @@ def test_eval_cover_matches_eval_transform(tmp_path, shape):
     p = str(tmp_path / "ns.png")
     Image.fromarray(arr, "RGB").save(p)
 
-    # native path: cover-mode canvas at target size + device normalize
+    # native path: cover-mode bicubic canvas at target size + device normalize
     canvas, status = load_batch([p], (224, 224), resize_mode="cover")
     assert (status == 0).all()
     native_out = np.asarray(eval_preprocess_batch(jnp.asarray(canvas), out_size=(224, 224)))[0]
 
-    # reference path: PIL shortest-edge + center-crop + normalize
-    cfg = PreprocessCfg(size=224, resize_mode="shortest", interpolation="bilinear")
+    # reference path: PIL shortest-edge + center-crop + normalize, BICUBIC
+    # (the EvalTransform/reference default, transform.py:366-397)
+    cfg = PreprocessCfg(size=224, resize_mode="shortest")
+    assert cfg.interpolation == "bicubic"
     pil_out = EvalTransform(cfg)(Image.open(p))
 
     assert native_out.shape == pil_out.shape
-    # same geometry => small residual from resampler differences only
+    # PIL-equivalent resampler: residual is uint8 rounding only (±1 level
+    # ≈ 0.015 in normalized units)
     maxdiff = np.abs(native_out - pil_out).max()
-    assert maxdiff < 0.15, f"native eval diverges from EvalTransform: {maxdiff}"
+    assert maxdiff < 0.02, f"native eval diverges from EvalTransform: {maxdiff}"
     # sanity: the squash path DOES diverge on non-square inputs
     squashed, _ = load_batch([p], (224, 224), resize_mode="squash")
     squash_out = np.asarray(eval_preprocess_batch(jnp.asarray(squashed), out_size=(224, 224)))[0]
