@@ -91,6 +91,10 @@ def main():
         "(no HBM score matrix; long-seq configs)",
     )
     parser.add_argument(
+        "--gelu-approx", action="store_true",
+        help="tanh-approximate GELU (VPU-relief throughput mode)",
+    )
+    parser.add_argument(
         "--bf16-moments", action=argparse.BooleanOptionalAction, default=True,
         help="store Adam mu in bf16 (default on: halves mu memory, "
         "measured-neutral-to-positive throughput)",
@@ -168,6 +172,7 @@ def main():
         grad_checkpointing=args.remat,
         remat_policy=args.remat_policy,
         attn_impl=attn_impl,
+        gelu_approx=args.gelu_approx,
         # --int8 quantizes only 2D (unrolled) kernels; force the unrolled
         # layout so deep models don't silently measure an unquantized stack.
         scan_layers=False if (args.no_scan or args.int8) else None,

@@ -157,6 +157,7 @@ def create_model(
     grad_checkpointing: bool = False,
     remat_policy: str = "dots",
     attn_impl: str = "xla",
+    gelu_approx: bool = False,
     init_params: bool = True,
     rng_seed: int = 0,
     **model_kwargs,
@@ -227,6 +228,7 @@ def create_model(
             vision_cfg=cfg["vision_cfg"],
             text_cfg=cfg["text_cfg"],
             quick_gelu=cfg.get("quick_gelu", False),
+            act_impl="tanh" if gelu_approx else "erf",
             init_logit_scale=cfg.get("init_logit_scale", np.log(1 / 0.07)),
             init_logit_bias=cfg.get("init_logit_bias"),
             logit_scale_trainable=logit_scale_trainable,

@@ -25,12 +25,22 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import gelu_exact, quick_gelu
+from .layers import gelu_exact, gelu_tanh, quick_gelu
 from .resnet import ModifiedResNet
 from .text import TextTransformer
 from .vision import VisionTransformer
 
 Dtype = Any
+
+
+def _select_act(quick_gelu_act):
+    """Activation selector: True/'quick' -> QuickGELU, 'tanh' -> tanh-approx
+    GELU (throughput mode), else exact erf GELU (torch parity default)."""
+    if quick_gelu_act is True or quick_gelu_act == "quick":
+        return quick_gelu
+    if quick_gelu_act == "tanh":
+        return gelu_tanh
+    return gelu_exact
 
 
 @dataclass
@@ -210,7 +220,7 @@ def build_vision_tower(
 ) -> nn.Module:
     """Select + build the vision tower (reference model.py:105-171)."""
     vision_cfg = _filter_cfg(CLIPVisionCfg, vision_cfg)
-    act = quick_gelu if quick_gelu_act else gelu_exact
+    act = _select_act(quick_gelu_act)
 
     if vision_cfg.timm_model_name:
         return _build_timm_vit_tower(embed_dim, vision_cfg, dtype, scan_layers,
@@ -283,7 +293,7 @@ def build_text_tower(
             dtype=dtype,
             name=name,
         )
-    act = quick_gelu if quick_gelu_act else gelu_exact
+    act = _select_act(quick_gelu_act)
     return TextTransformer(
         context_length=text_cfg.context_length,
         vocab_size=text_cfg.vocab_size,
@@ -323,6 +333,7 @@ class CLIP(nn.Module):
     vision_cfg: Any = dataclasses.field(default_factory=CLIPVisionCfg)
     text_cfg: Any = dataclasses.field(default_factory=CLIPTextCfg)
     quick_gelu: bool = False
+    act_impl: str = "erf"  # 'erf' (torch parity) | 'tanh' (--gelu-approx)
     init_logit_scale: float = math.log(1 / 0.07)
     init_logit_bias: Optional[float] = None
     logit_scale_trainable: bool = True  # MR-CLIP `logitscaletrainable` (model.py:254-258)
@@ -334,13 +345,14 @@ class CLIP(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        act = True if self.quick_gelu else self.act_impl
         self.visual = build_vision_tower(
-            self.embed_dim, self.vision_cfg, self.quick_gelu, self.dtype,
+            self.embed_dim, self.vision_cfg, act, self.dtype,
             self.scan_layers, self.remat, self.remat_policy, self.attn_impl,
             name="visual",
         )
         self.text = build_text_tower(
-            self.embed_dim, self.text_cfg, self.quick_gelu, self.dtype,
+            self.embed_dim, self.text_cfg, act, self.dtype,
             self.scan_layers, self.remat, self.remat_policy, self.attn_impl,
             name="text",
         )

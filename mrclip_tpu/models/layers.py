@@ -73,6 +73,14 @@ def gelu_exact(x: jax.Array) -> jax.Array:
     return nn.gelu(x, approximate=False)
 
 
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """Tanh-approximate GELU — opt-in throughput mode (--gelu-approx): the
+    erf evaluation runs on the VPU inside the c_fc matmul fusion and can
+    stall the MXU; tanh is cheaper there. Max |erf-tanh| deviation ~1e-3,
+    learnability-validated like the attn-bf16 mode."""
+    return nn.gelu(x, approximate=True)
+
+
 class QuickGELU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

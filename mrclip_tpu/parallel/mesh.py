@@ -97,14 +97,26 @@ def param_sharding_rules(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     # which must NOT match here — their dim 0 is a real feature dim.
     is_stacked = "['blocks']" in path
 
+    # Tensor-parallel patterns. Column-parallel (shard the OUTPUT dim):
+    # attention QKV projections + MLP up-projection; row-parallel (shard the
+    # INPUT dim): attention output + MLP down-projection. Covers the native
+    # naming (in_proj/c_fc/out_proj/c_proj), the HF Flax BERT/RoBERTa scheme
+    # (attention/self/{query,key,value}, intermediate/dense out-dim;
+    # attention/output/dense + <mlp> output/dense in-dim), and distilbert
+    # (q_lin/k_lin/v_lin/ffn lin1 vs out_lin/lin2).
+    _TP_COL = ("in_proj", "c_fc", "q_proj", "k_proj", "v_proj",
+               "['query']", "['key']", "['value']", "['intermediate']",
+               "q_lin", "k_lin", "v_lin", "['lin1']")
+    _TP_ROW = ("out_proj", "c_proj", "['output']['dense']",
+               "out_lin", "['lin2']")
+
     if ndim >= 2:
         if tp_size > 1:
-            if ("in_proj" in path or "c_fc" in path or "q_proj" in path or "k_proj" in path
-                    or "v_proj" in path) and "kernel" in path and _dim_divisible(shape, last(), tp_size):
+            if any(p in path for p in _TP_COL) and "kernel" in path and \
+                    _dim_divisible(shape, last(), tp_size):
                 spec[last()] = "model"
-            elif ("out_proj" in path or "c_proj" in path) and "kernel" in path and _dim_divisible(
-                shape, last(2), tp_size
-            ):
+            elif any(p in path for p in _TP_ROW) and "kernel" in path and \
+                    _dim_divisible(shape, last(2), tp_size):
                 spec[last(2)] = "model"
         if fsdp_size > 1:
             # Shard the largest still-unsharded dim (ZeRO-3 style).

@@ -121,6 +121,7 @@ def main(args=None):
         grad_checkpointing=args.grad_checkpointing,
         remat_policy=args.remat_policy,
         attn_impl=args.attn_impl,
+        gelu_approx=args.gelu_approx,
         text_dropout=args.textdropout,
         aug_cfg=args.aug_cfg,
         rng_seed=args.seed,

@@ -133,6 +133,11 @@ def parse_args(args=None) -> argparse.Namespace:
         "flash = Pallas fused (single-device, long-seq)",
     )
     p.add_argument(
+        "--gelu-approx", default=False, action="store_true",
+        help="tanh-approximate GELU (throughput mode: keeps the erf off the "
+        "VPU inside the MLP matmul fusion; max |delta| ~1e-3 per activation)",
+    )
+    p.add_argument(
         "--bf16-moments", default=False, action="store_true",
         help="store the Adam/Lion first moment in bf16 (halves mu HBM)",
     )

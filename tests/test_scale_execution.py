@@ -157,3 +157,69 @@ def test_cached_feature_accum_executes_on_mesh():
     state, metrics = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_hf_text_tower_tp_sharded_and_steps():
+    """TP rules cover the HF Flax naming scheme (VERDICT r2 item 8): the
+    tiny-BERT tower's query/key/value + intermediate kernels shard on the
+    model axis (column-parallel), attention/mlp output denses on the input
+    dim (row-parallel), and an executed dp2 x fsdp2 x tp2 step matches the
+    single-device step. Reference DDP-wraps HF towers (main.py:320-330)."""
+    from mrclip_tpu.models.clip import CLIP
+
+    tiny_bert = {
+        "model_type": "bert", "vocab_size": 128, "hidden_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "intermediate_size": 64, "max_position_embeddings": 64,
+        "type_vocab_size": 2, "pad_token_id": 0,
+    }
+    text_cfg = {
+        "context_length": 16, "hf_model_name": "local/test-tiny-bert",
+        "hf_model_config": tiny_bert, "hf_proj_type": "mlp",
+        "hf_pooler_type": "mean_pooler", "hf_model_pretrained": False,
+    }
+    vision_mini = {"image_size": 32, "layers": 2, "width": 32,
+                   "head_width": 16, "patch_size": 16}
+    model = CLIP(embed_dim=16, vision_cfg=vision_mini, text_cfg=text_cfg,
+                 scan_layers=False)
+    rng = np.random.RandomState(3)
+    batch_np = {
+        "images": rng.rand(16, 32, 32, 3).astype(np.float32),
+        "tokens": rng.randint(1, 127, (16, 16)).astype(np.int32),
+        "labels": rng.randint(0, 4, (16,)).astype(np.int32),
+    }
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(batch_np["images"][:2]),
+        jnp.asarray(batch_np["tokens"][:2]),
+    )
+    tx = create_optimizer(lr=1e-3, wd=0.1)
+
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+    state = create_train_state(dict(variables), tx, mesh)
+    layer0 = state.params["text"]["hf"]["encoder"]["layer"]["0"]
+    q_spec = layer0["attention"]["self"]["query"]["kernel"].sharding.spec
+    up_spec = layer0["intermediate"]["dense"]["kernel"].sharding.spec
+    attn_out_spec = layer0["attention"]["output"]["dense"]["kernel"].sharding.spec
+    mlp_out_spec = layer0["output"]["dense"]["kernel"].sharding.spec
+    assert q_spec[-1] == "model", q_spec
+    assert up_spec[-1] == "model", up_spec
+    assert attn_out_spec[0] == "model", attn_out_spec
+    assert mlp_out_spec[0] == "model", mlp_out_spec
+
+    step = build_train_step(
+        model, make_loss_apply(create_loss(Args()), mesh), tx, mesh, donate=False
+    )
+    batch = local_batch_to_global(mesh, batch_np)
+    state, metrics = step(state, batch, jax.random.key(7))
+    sharded_loss = float(metrics["loss"])
+    assert np.isfinite(sharded_loss)
+
+    # single-device reference step on the same batch
+    state1 = create_train_state(dict(variables), tx)
+    step1 = build_train_step(
+        model, make_loss_apply(create_loss(Args())), tx, donate=False
+    )
+    _, metrics1 = step1(
+        state1, {k: jnp.asarray(v) for k, v in batch_np.items()}, jax.random.key(7)
+    )
+    assert abs(sharded_loss - float(metrics1["loss"])) < 1e-4
