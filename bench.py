@@ -91,8 +91,10 @@ def main():
         "(no HBM score matrix; long-seq configs)",
     )
     parser.add_argument(
-        "--gelu-approx", action="store_true",
-        help="tanh-approximate GELU (VPU-relief throughput mode)",
+        "--gelu-approx", action=argparse.BooleanOptionalAction, default=True,
+        help="tanh-approximate GELU (default on: keeps the erf off the VPU "
+        "inside the MLP matmul fusions; measured 863 vs 791 pairs/s at b88; "
+        "--no-gelu-approx for strict erf parity numerics)",
     )
     parser.add_argument(
         "--bf16-moments", action=argparse.BooleanOptionalAction, default=True,

@@ -125,15 +125,30 @@ class NativeBatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # Never block indefinitely on a full queue: an abandoned
+            # iterator sets `stop` and a plain q.put() would leave this
+            # thread parked forever (VERDICT r2 hygiene item).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             # The C++ loader parallelizes inside one call, so a single
             # producer thread keeps batches in order while decode threads
             # saturate the cores.
-            for idxs in batches:
-                if stop.is_set():
-                    break
-                q.put(self._make_batch(idxs))
-            q.put(None)
+            try:
+                for idxs in batches:
+                    if stop.is_set() or not put_or_stop(self._make_batch(idxs)):
+                        break
+            finally:
+                # Always deliver the sentinel (even on decode error) so the
+                # consumer's blocking q.get() can't hang.
+                put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -145,8 +160,12 @@ class NativeBatchLoader:
                 yield batch
         finally:
             stop.set()
-            while thread.is_alive():
+            while True:
                 try:
                     q.get_nowait()
                 except queue.Empty:
                     break
+            # The producer can still be inside one C++ decode call; wait for
+            # it briefly so a new epoch's iterator doesn't race the old
+            # thread pool. Daemon thread, so a stuck decode can't hang exit.
+            thread.join(timeout=10.0)

@@ -121,11 +121,15 @@ _TIMM_VIT_DIMS = {
     "base": (768, 12, 12),
     "large": (1024, 24, 16),
     "huge": (1280, 32, 16),
+    # SigLIP shape-optimized 400M (big_vision): mlp hidden 4304
+    "so400m": (1152, 27, 16),
 }
+_TIMM_VIT_MLP_RATIO = {"so400m": 4304 / 1152}
 
 
 def _build_timm_vit_tower(
-    embed_dim, vision_cfg, dtype, scan_layers, remat, remat_policy, attn_impl, name
+    embed_dim, vision_cfg, dtype, scan_layers, remat, remat_policy, attn_impl,
+    name, act=gelu_exact,
 ) -> nn.Module:
     """TPU-native stand-in for the reference TimmModel vision adapter
     (`src/open_clip/timm_model.py:29-153`): `vit_*_patch*` names build the
@@ -168,26 +172,62 @@ def _build_timm_vit_tower(
         return ConvNeXt(
             depths=depths, dims=dims,
             output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
-            remat=remat, dtype=dtype, name=name,
+            act=act, remat=remat, dtype=dtype, name=name,
         )
-    m = _re.match(r"vit_(tiny|small|base|large|huge)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$", tname)
+    m = _re.match(
+        r"vit_(tiny|small|base|large|huge|so400m)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$",
+        tname,
+    )
     if not m:
         raise NotImplementedError(
             f"timm model '{tname}' has no TPU-native mapping; supported: the "
-            "vit_{tiny,small,base,large,huge}_patch{P}[_clip]_{RES} family "
-            "and convnext_{tiny,small,base,large,xlarge} "
+            "vit_{tiny,small,base,large,huge,so400m}_patch{P}[_clip|_siglip]_{RES} "
+            "family and convnext_{tiny,small,base,large,xlarge} "
             "(reference timm_model.py:29-153). Use a native ViT/RN config for "
             "other architectures."
         )
     size, patch, variant, res = m.group(1), int(m.group(2)), m.group(3), int(m.group(4))
     width, layers, heads = _TIMM_VIT_DIMS[size]
-    if vision_cfg.timm_proj not in ("linear", ""):
+    is_siglip = "_siglip" in variant
+    if vision_cfg.timm_proj not in ("linear", "") and not (
+        is_siglip and vision_cfg.timm_proj == "none"
+    ):
         raise NotImplementedError(
             f"timm_proj='{vision_cfg.timm_proj}' not supported on the native "
             "tower (linear only; reference timm_model.py:81-95)"
         )
     if vision_cfg.timm_proj_bias:
         raise NotImplementedError("timm_proj_bias not supported (linear no-bias proj)")
+    if is_siglip:
+        # SigLIP ViTs (big_vision): no CLS token, no pre-LN, MAP attention
+        # pooling, identity head (embed_dim == width). Reference webli tags
+        # wrap these through TimmModel with pool='map', proj='none'.
+        pool = "map" if vision_cfg.timm_pool in ("map", "") else vision_cfg.timm_pool
+        if vision_cfg.timm_proj in ("none", "") and embed_dim != width:
+            raise ValueError(
+                f"SigLIP tower '{tname}' with timm_proj=none needs "
+                f"embed_dim == width ({width}), got {embed_dim}"
+            )
+        return VisionTransformer(
+            image_size=vision_cfg.image_size or res,
+            patch_size=patch,
+            width=width,
+            layers=layers,
+            heads=heads,
+            mlp_ratio=_TIMM_VIT_MLP_RATIO.get(size, 4.0),
+            output_dim=None if vision_cfg.timm_proj in ("none", "") else embed_dim,
+            patch_bias=True,
+            use_cls_token=False,
+            no_ln_pre=True,
+            pool_type=pool,
+            act=act,
+            attn_impl=attn_impl,
+            scan_layers=scan_layers,
+            remat=remat,
+            remat_policy=remat_policy,
+            dtype=dtype,
+            name=name,
+        )
     return VisionTransformer(
         image_size=vision_cfg.image_size or res,
         patch_size=patch,
@@ -198,6 +238,7 @@ def _build_timm_vit_tower(
         patch_bias=True,
         no_ln_pre="_clip" not in variant,  # timm CLIP variants carry norm_pre
         pool_type="avg" if vision_cfg.timm_pool == "avg" else "tok",
+        act=act,
         attn_impl=attn_impl,
         scan_layers=scan_layers,
         remat=remat,
@@ -224,7 +265,8 @@ def build_vision_tower(
 
     if vision_cfg.timm_model_name:
         return _build_timm_vit_tower(embed_dim, vision_cfg, dtype, scan_layers,
-                                     remat, remat_policy, attn_impl, name)
+                                     remat, remat_policy, attn_impl, name,
+                                     act=act)
     if isinstance(vision_cfg.layers, (tuple, list)):
         heads = vision_cfg.width * 32 // vision_cfg.head_width
         return ModifiedResNet(

@@ -16,7 +16,7 @@ Param names mirror timm's state-dict layout one-to-one so
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Callable, Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,7 @@ class ConvNeXtBlock(nn.Module):
 
     dim: int
     ls_init_value: float = 1e-6
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -56,7 +57,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = LayerNorm(name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
-        x = gelu_exact(x)
+        x = self.act(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
         gamma = self.param(
             "gamma",
@@ -74,6 +75,7 @@ class ConvNeXt(nn.Module):
     dims: Sequence[int] = (128, 256, 512, 1024)
     output_dim: Optional[int] = 640
     ls_init_value: float = 1e-6
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
     remat: bool = False  # per-block jax.checkpoint: b128@256px OOMs without
     dtype: Dtype = jnp.float32
 
@@ -97,7 +99,7 @@ class ConvNeXt(nn.Module):
                 )(x)
             for b in range(depth):
                 x = block_cls(
-                    dim=dim, ls_init_value=self.ls_init_value,
+                    dim=dim, ls_init_value=self.ls_init_value, act=self.act,
                     dtype=self.dtype, name=f"stages_{s}_blocks_{b}",
                 )(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool (timm 'avg')

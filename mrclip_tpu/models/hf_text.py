@@ -51,21 +51,28 @@ def _flax_module_class(hf_config):
     hf_model.py:117-125 uses AutoModel; torch-only archs have no Flax port)."""
     from transformers import FlaxAutoModel
 
+    if hf_config.model_type == "m2m_100":
+        # nllb-clip text tower: the reference takes the seq2seq model's
+        # encoder half (hf_model.py:123-126). transformers has no Flax
+        # M2M100, so the native port hosts it (models/m2m100.py).
+        from .m2m100 import M2M100Encoder
+
+        return M2M100Encoder
     mapping = FlaxAutoModel._model_mapping
     if getattr(hf_config, "is_encoder_decoder", False):
         raise RuntimeError(
             f"HF architecture '{hf_config.model_type}' is encoder-decoder; "
             "its Flax module requires decoder inputs and is not usable as a "
-            "CLIP text tower here (the reference uses the encoder only for "
-            "t5 — not implemented on the TPU path)."
+            "CLIP text tower here (m2m_100/nllb has a native encoder port; "
+            "t5 does not)."
         )
     if type(hf_config) not in mapping:
         raise RuntimeError(
             f"No Flax port for HF architecture '{hf_config.model_type}'. "
             "HF text towers on the TPU path require an encoder architecture "
             "with a Flax implementation (bert, roberta, distilbert, electra, "
-            "...). Encoder-decoder models (t5) are not supported: their Flax "
-            "modules require decoder inputs."
+            "...) or the native m2m_100 port. Encoder-decoder models (t5) "
+            "are not supported: their Flax modules require decoder inputs."
         )
     return mapping[type(hf_config)].module_class
 
@@ -75,8 +82,19 @@ def load_hf_pretrained_params(model_name: str) -> dict:
 
     Used by the factory to overlay `params/<tower>/hf` after `model.init`.
     """
-    from transformers import FlaxAutoModel
+    from transformers import AutoConfig, FlaxAutoModel
 
+    cfg = AutoConfig.from_pretrained(model_name)
+    if cfg.model_type == "m2m_100":
+        # No Flax M2M100 in transformers: pull the torch weights and remap
+        # the encoder half onto the native module.
+        from transformers import AutoModel
+
+        from .m2m100 import m2m100_torch_encoder_to_flax
+
+        torch_model = AutoModel.from_pretrained(model_name)
+        sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+        return m2m100_torch_encoder_to_flax(sd)
     try:
         res = FlaxAutoModel.from_pretrained(model_name, _do_init=False)
     except (OSError, EnvironmentError):

@@ -30,6 +30,7 @@ __all__ = [
     "PatchDropout",
     "MultiHeadAttention",
     "AttentionalPooler",
+    "MAPHead",
     "MLP",
 ]
 
@@ -298,3 +299,50 @@ class AttentionalPooler(nn.Module):
         # (reference uses nn.MultiheadAttention(kdim=context_dim)); no extra
         # bottleneck projection, so torch checkpoints map 1:1.
         return MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype, name="attn")(q, kv=x)
+
+
+class MAPHead(nn.Module):
+    """timm `AttentionPoolLatent` ("map" global pool) — the SigLIP ViT pooling
+    head (big_vision MAPHead_0; timm/layers/attention_pool.py). One learned
+    latent query cross-attends over all tokens, then a residual MLP:
+
+        q = W_q latent; k,v = W_kv x
+        y = W_o softmax(q k^T / sqrt(dh)) v
+        out = (y + MLP(LN(y)))[:, 0]
+
+    Param names mirror the timm checkpoint keys (latent/q/kv/proj/norm +
+    mlp fc1/fc2 -> c_fc/c_proj) so `convert.timm_vit_to_vision_params` maps
+    1:1; reference adapter surface: timm_model.py:29-153 (`pool='map'`).
+    """
+
+    width: int
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, c = x.shape
+        dh = self.width // self.num_heads
+        latent = self.param(
+            "latent", nn.initializers.normal(stddev=self.width**-0.5),
+            (1, 1, self.width),
+        )
+        q = nn.Dense(self.width, dtype=self.dtype, name="q")(
+            jnp.broadcast_to(latent, (b, 1, self.width)).astype(self.dtype)
+        )
+        kv = nn.Dense(2 * self.width, dtype=self.dtype, name="kv")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b, 1, self.num_heads, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, self.num_heads, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, self.num_heads, dh).transpose(0, 2, 1, 3)
+        scores = (q @ k.transpose(0, 1, 3, 2)) * (dh**-0.5)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        y = (probs @ v).transpose(0, 2, 1, 3).reshape(b, 1, self.width)
+        y = nn.Dense(self.width, dtype=self.dtype, name="proj")(y)
+        y = y + MLP(
+            width=self.width, hidden=int(self.width * self.mlp_ratio),
+            act=self.act, dtype=self.dtype, name="mlp",
+        )(LayerNorm(name="norm")(y))
+        return y[:, 0]

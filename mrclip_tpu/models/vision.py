@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pos_embed import sincos_2d
-from .layers import AttentionalPooler, LayerNorm, PatchDropout, gelu_exact
+from .layers import AttentionalPooler, LayerNorm, MAPHead, PatchDropout, gelu_exact
 from .transformer import Transformer
 
 Dtype = Any
@@ -73,7 +73,8 @@ class VisionTransformer(nn.Module):
     attn_pooler_heads: int = 8
     no_ln_pre: bool = False
     pos_embed_type: str = "learnable"  # 'learnable' | 'sin_cos_2d'
-    pool_type: str = "tok"  # 'tok' | 'avg' | 'none'
+    pool_type: str = "tok"  # 'tok' | 'avg' | 'map' | 'none'
+    use_cls_token: bool = True  # SigLIP ViTs carry no CLS token
     final_ln_after_pool: bool = False
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     output_tokens: bool = False
@@ -93,7 +94,8 @@ class VisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, images: jax.Array, *, deterministic: bool = True):
         """`images`: [B, H, W, 3] float (already normalized)."""
-        assert self.pool_type in ("tok", "avg", "none")
+        assert self.pool_type in ("tok", "avg", "map", "none")
+        assert self.use_cls_token or self.pool_type != "tok", "tok pool needs a CLS token"
         ph, pw = to_2tuple(self.patch_size)
         gh, gw = self.grid_size
         b = images.shape[0]
@@ -111,14 +113,15 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype, name="conv1",
         )(x)
 
-        cls = self.param(
-            "class_embedding", nn.initializers.normal(stddev=self.width**-0.5), (self.width,)
-        )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.width)), x], axis=1
-        )
+        if self.use_cls_token:
+            cls = self.param(
+                "class_embedding", nn.initializers.normal(stddev=self.width**-0.5), (self.width,)
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.width)), x], axis=1
+            )
 
-        n_pos = gh * gw + 1
+        n_pos = gh * gw + (1 if self.use_cls_token else 0)
         if self.pos_embed_type == "learnable":
             pos = self.param(
                 "positional_embedding",
@@ -130,7 +133,7 @@ class VisionTransformer(nn.Module):
             pos = self.variable(
                 "constants",
                 "positional_embedding",
-                lambda: jnp.asarray(sincos_2d(self.width, gh, gw, cls_token=True)),
+                lambda: jnp.asarray(sincos_2d(self.width, gh, gw, cls_token=self.use_cls_token)),
             ).value
         else:
             raise ValueError(f"unknown pos_embed_type {self.pos_embed_type}")
@@ -160,13 +163,23 @@ class VisionTransformer(nn.Module):
         )(x)
 
         def global_pool(t):
+            patches = t[:, 1:] if self.use_cls_token else t
             if self.pool_type == "avg":
-                return jnp.mean(t[:, 1:], axis=1), t[:, 1:]
+                return jnp.mean(patches, axis=1), patches
             if self.pool_type == "tok":
                 return t[:, 0], t[:, 1:]
             return t, t
 
-        if self.attentional_pool:
+        if self.pool_type == "map":
+            # SigLIP/big_vision ordering: blocks -> final norm -> MAP head
+            # (timm VisionTransformer with global_pool='map').
+            x = LayerNorm(name="ln_post")(x)
+            pooled, tokens = MAPHead(
+                width=self.width, num_heads=self.heads,
+                mlp_ratio=self.mlp_ratio, act=self.act, dtype=self.dtype,
+                name="attn_pool",
+            )(x), x
+        elif self.attentional_pool:
             # Original OpenCLIP CoCa pooling (reference :521-529, :628-645):
             # pool into output_dim-sized queries, ln_post over output_dim,
             # then tok-pool -> (pooled=x[:,0], tokens=x[:,1:]) and a

@@ -54,6 +54,13 @@ def _apcfg(**kwargs) -> dict:  # OpenAI/LAION default preprocessing
     return _pcfg(mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD, **kwargs)
 
 
+def _slpcfg(**kwargs) -> dict:  # SigLIP/webli preprocessing (reference :34-38)
+    return _pcfg(
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+        interpolation="bicubic", resize_mode="squash", **kwargs
+    )
+
+
 _OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models"
 
 _GH = "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights"
@@ -227,10 +234,31 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
             quick_gelu=True,
         ),
     },
-    # NOTE: no webli SigLIP tags: the released SigLIP checkpoints use a
-    # timm-trunk layout + sentencepiece text stack that this importer does
-    # not map; the ViT-B-16-SigLIP config here is the MR-CLIP-style
-    # sigmoid-loss training config, not the webli architecture.
+    # webli SigLIP tags (reference pretrained.py SigLIP entries). The
+    # released checkpoints are timm-trunk layouts (`visual.trunk.*` no-CLS
+    # ViT + MAP attention pool + open_clip text tower with proj bias);
+    # `convert.timm_vit_to_vision_params` maps them onto the native tower
+    # (tested offline against a synthetic released-layout checkpoint in
+    # tests/test_siglip_import.py). SigLIP preprocessing: mean/std 0.5,
+    # squash resize (reference _slpcfg).
+    "ViT-B-16-SigLIP": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP/")},
+    "ViT-B-16-SigLIP-256": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-256/")},
+    "ViT-B-16-SigLIP-384": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-384/")},
+    "ViT-B-16-SigLIP-512": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-512/")},
+    "ViT-L-16-SigLIP-256": {"webli": _slpcfg(hf_hub="timm/ViT-L-16-SigLIP-256/")},
+    "ViT-L-16-SigLIP-384": {"webli": _slpcfg(hf_hub="timm/ViT-L-16-SigLIP-384/")},
+    "ViT-SO400M-14-SigLIP": {"webli": _slpcfg(hf_hub="timm/ViT-SO400M-14-SigLIP/")},
+    # 378 = 27*14: the released "384" weights at the nearest patch-divisible
+    # size (the reference does the same, pretrained.py SO400M-378 entry).
+    "ViT-SO400M-14-SigLIP-378": {
+        "webli": _slpcfg(hf_hub="timm/ViT-SO400M-14-SigLIP-384/")
+    },
+    # nllb-clip (reference pretrained.py nllb entries): NLLB/M2M100 text
+    # tower hosted by the native Flax encoder port (models/m2m100.py).
+    # The -siglip variants pair a SigLIP vision trunk whose exact released
+    # architecture cannot be verified offline; not registered.
+    "nllb-clip-base": {"v1": _pcfg(hf_hub="visheratin/nllb-clip-base-oc/")},
+    "nllb-clip-large": {"v1": _pcfg(hf_hub="visheratin/nllb-clip-large-oc/")},
     "coca_ViT-B-32": {
         "laion2b_s13b_b90k": _apcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
         "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(
