@@ -435,8 +435,11 @@ def build_train_step(
             (grad_sum, loss_sum), _ = jax.lax.scan(
                 body, (zero, jnp.float32(0.0)), jnp.arange(accum_freq)
             )
-            grads = jax.tree.map(lambda g: g / accum_freq, grad_sum)
-            return apply_updates(state, grads, {"loss": loss_sum / accum_freq}, {})
+            # Reference semantics: per-microbatch backwards ACCUMULATE (sum)
+            # into .grad with no 1/accum_freq scaling before optimizer.step()
+            # (train.py:161-183) — matching dynamics requires the sum, not
+            # the mean (r3 dynamics-parity finding).
+            return apply_updates(state, grad_sum, {"loss": loss_sum / accum_freq}, {})
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:

@@ -39,3 +39,16 @@ def test_train_dynamics_parity_no_clip_no_warmup():
     assert not r["missing_keys"], r["missing_keys"]
     assert r["loss_maxdiff"] < 1e-4
     assert r["weight_maxdiff"] < 1e-4
+
+
+@pytest.mark.slow
+def test_cached_accum_dynamics_parity():
+    """Cached-feature grad accumulation matches the reference scheme
+    end-to-end (train.py:134-183): per-microbatch backwards SUM into the
+    grads (no 1/accum_freq scaling) before one optimizer step."""
+    from train_dynamics_parity import run_parity_accum
+
+    r = run_parity_accum(steps=4, batch=6, accum=2)
+    assert not r["missing_keys"], r["missing_keys"]
+    assert r["loss_maxdiff"] < 1e-4, (r["ref_losses"], r["jax_losses"])
+    assert r["weight_maxdiff"] < 1e-4, r["worst_weight"]

@@ -178,6 +178,142 @@ def run_jax(sd0, batches, lr, wd, warmup, steps, delta, grad_clip):
     return losses, sd_final
 
 
+def run_torch_accum(batches, lr, wd, warmup, steps, delta, grad_clip, accum, seed=0):
+    """Reference cached-feature accumulation dynamics (train.py:134-183,
+    upstream-intended semantics: the fork's own accum call crashes — it
+    omits tokenized_texts — so the torch loop here re-implements the scheme
+    with the multipositive labels passed, which is what a working fork run
+    would do): pass-1 no-grad feature cache for all `accum` microbatches,
+    pass-2 re-forward each with live-feature splice, backward each (grads
+    SUM), single optimizer step + clamp."""
+    install_stubs()
+    sys.path.insert(0, "/root/reference/src")
+    import torch
+    from open_clip.loss import MultiPositiveClipLoss
+    from open_clip.model import CLIP, CLIPTextCfg, CLIPVisionCfg
+    from open_clip_train.scheduler import cosine_lr as ref_cosine_lr
+
+    torch.manual_seed(seed)
+    model = CLIP(
+        embed_dim=EMBED,
+        vision_cfg=CLIPVisionCfg(layers=2, width=64, head_width=32, patch_size=32,
+                                 image_size=IMG),
+        text_cfg=CLIPTextCfg(context_length=CTX, vocab_size=VOCAB, width=64,
+                             heads=2, layers=2),
+        output_dict=True,
+    )
+    model.train()
+    sd0 = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+
+    exclude = lambda n, p: p.ndim < 2 or "bn" in n or "ln" in n or "bias" in n or "logit_scale" in n
+    named = list(model.named_parameters())
+    opt = torch.optim.AdamW(
+        [{"params": [p for n, p in named if exclude(n, p)], "weight_decay": 0.0},
+         {"params": [p for n, p in named if not exclude(n, p)], "weight_decay": wd}],
+        lr=lr, betas=(0.9, 0.98), eps=1e-6,
+    )
+    sched = ref_cosine_lr(opt, lr, warmup, steps)
+    loss_fn = MultiPositiveClipLoss()
+
+    losses = []
+    for step in range(steps):
+        sched(step)
+        micro = batches[step * accum:(step + 1) * accum]
+        imgs = [torch.from_numpy(b["images"].transpose(0, 3, 1, 2)) for b in micro]
+        toks = [torch.from_numpy(b["tokens"]) for b in micro]
+        labels_all = torch.from_numpy(
+            np.concatenate([b["labels"] for b in micro]))
+        with torch.no_grad():
+            cached = [model(im, tk) for im, tk in zip(imgs, toks)]
+        img_cache = [c["image_features"] for c in cached]
+        txt_cache = [c["text_features"] for c in cached]
+        opt.zero_grad()
+        step_losses = []
+        for j in range(accum):
+            out = model(imgs[j], toks[j])
+            img_all = torch.cat(img_cache[:j] + [out["image_features"]] + img_cache[j + 1:])
+            txt_all = torch.cat(txt_cache[:j] + [out["text_features"]] + txt_cache[j + 1:])
+            total = loss_fn(img_all, txt_all, out["logit_scale"],
+                            tokenized_texts=labels_all, delta=delta)
+            total.backward()
+            step_losses.append(float(total.detach()))
+        if grad_clip is not None:
+            torch.nn.utils.clip_grad_norm_(model.parameters(), grad_clip, norm_type=2.0)
+        opt.step()
+        with torch.no_grad():
+            model.logit_scale.clamp_(0, math.log(100))
+        losses.append(float(np.mean(step_losses)))
+    sd_final = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+    return sd0, losses, sd_final
+
+
+def run_jax_accum(sd0, batches, lr, wd, warmup, steps, delta, grad_clip, accum):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from functools import partial
+
+    sys.path.insert(0, "/root/repo")
+    from mrclip_tpu.checkpoint import import_torch_state_dict
+    from mrclip_tpu.factory import create_model
+    from mrclip_tpu.hub import export_torch_state_dict
+    from mrclip_tpu.losses.contrastive import multipositive_clip_loss
+    from mrclip_tpu.parallel import (
+        build_train_step,
+        create_optimizer,
+        create_train_state,
+        make_loss_apply,
+    )
+    from mrclip_tpu.train.scheduler import cosine_lr
+
+    model, _ = create_model("ViT-B-32-mini", init_params=False)
+    params = import_torch_state_dict(sd0, scan_layers=False)
+    tx = create_optimizer(
+        lr=cosine_lr(lr, warmup, steps), beta1=0.9, beta2=0.98, eps=1e-6, wd=wd,
+        grad_clip_norm=grad_clip,
+    )
+    state = create_train_state({"params": params}, tx)
+    loss_apply = make_loss_apply(partial(multipositive_clip_loss, delta=delta))
+    step_fn = build_train_step(
+        model, loss_apply, tx, accum_freq=accum, cached_features_accum=True,
+        donate=False,
+    )
+
+    losses = []
+    for i in range(steps):
+        micro = batches[i * accum:(i + 1) * accum]
+        big = {
+            "images": jnp.asarray(np.concatenate([b["images"] for b in micro])),
+            "tokens": jnp.asarray(np.concatenate([b["tokens"] for b in micro]).astype(np.int32)),
+            "labels": jnp.asarray(np.concatenate([b["labels"] for b in micro]).astype(np.int32)),
+        }
+        state, metrics = step_fn(state, big, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    return losses, export_torch_state_dict(state.params, scan_layers=False)
+
+
+def run_parity_accum(steps=4, batch=6, accum=2, lr=5e-4, wd=0.1, warmup=2,
+                     delta=0.5, grad_clip=1.0, seed=0):
+    batches = make_batches(steps * accum, batch, seed)
+    sd0, ref_losses, ref_final = run_torch_accum(
+        batches, lr, wd, warmup, steps, delta, grad_clip, accum, seed)
+    jax_losses, jax_final = run_jax_accum(
+        sd0, batches, lr, wd, warmup, steps, delta, grad_clip, accum)
+    w_diffs = {
+        k: float(np.abs(np.asarray(jax_final[k]) - v).max())
+        for k, v in ref_final.items() if k in jax_final
+    }
+    return {
+        "ref_losses": ref_losses,
+        "jax_losses": jax_losses,
+        "loss_maxdiff": max(abs(a - b) for a, b in zip(ref_losses, jax_losses)),
+        "weight_maxdiff": max(w_diffs.values()),
+        "worst_weight": max(w_diffs, key=w_diffs.get),
+        "missing_keys": sorted(set(ref_final) - set(jax_final) - {"attn_mask"}),
+    }
+
+
 def run_parity(steps=10, batch=8, lr=5e-4, wd=0.1, warmup=3, delta=0.5,
                grad_clip=1.0, seed=0):
     batches = make_batches(steps, batch, seed)
