@@ -32,6 +32,7 @@ def main():
                         help="flash lowers a pallas call whose flops XLA "
                         "can't see; use xla for counting (same math)")
     parser.add_argument("--precision", type=str, default="bf16")
+    parser.add_argument("--gelu-approx", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -55,6 +56,7 @@ def main():
         remat_policy=args.remat_policy,
         scan_layers=not args.no_scan,
         attn_impl=args.attn_impl,
+        gelu_approx=args.gelu_approx,
     )
 
     class LossArgs:
