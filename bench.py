@@ -330,16 +330,19 @@ def main():
     pairs_per_sec = batch * steps / dt
     n_chips = jax.device_count() if on_tpu else 1
     value = pairs_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": f"image-text pairs/sec/chip ({model_name} multipositive InfoNCE train step)",
-                "value": round(value, 2),
-                "unit": "pairs/sec/chip",
-                "vs_baseline": round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3),
-            }
-        )
-    )
+    result = {
+        "metric": f"image-text pairs/sec/chip ({model_name} multipositive InfoNCE train step)",
+        "value": round(value, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3),
+    }
+    # Exact CPU-lowered FLOPs bases (tools/flops_count.py) for the flagship
+    # config -> report measured MFU vs the v5e 197 TFLOP/s bf16 peak.
+    _GFLOPS_BASIS = {("ViT-B-16", True): 128.593, ("ViT-B-16", False): 129.134}
+    basis = _GFLOPS_BASIS.get((model_name, bool(args.gelu_approx)))
+    if on_tpu and basis and not args.infer:
+        result["mfu_pct"] = round(100.0 * value * basis * 1e9 / 197e12, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
