@@ -84,3 +84,16 @@ def test_trainable_logit_scale_keeps_init_value():
     np.testing.assert_allclose(
         np.asarray(variables["params"]["logit_scale"]), np.log(1 / 0.07), rtol=1e-6
     )
+
+
+def test_gelu_approx_mode():
+    """--gelu-approx builds tanh-GELU towers: output differs slightly from
+    erf but stays close (throughput mode, bench default on TPU)."""
+    m1, v1 = create_model("ViT-B-32-mini", rng_seed=0)
+    m2, v2 = create_model("ViT-B-32-mini", rng_seed=0, gelu_approx=True)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    o1 = m1.apply(v1, imgs, None)["image_features"]
+    o2 = m2.apply(v2, imgs, None)["image_features"]
+    d = np.abs(np.asarray(o1) - np.asarray(o2)).max()
+    assert 0 < d < 1e-2, d
