@@ -37,6 +37,10 @@ def main(argv=None) -> str:
         help="W8A8 quantized encoders (int8 MXU matmuls, ~4x smaller artifact)",
     )
     p.add_argument("--precision", default="fp32", help="compute dtype baked into the artifact")
+    p.add_argument(
+        "--gelu-approx", action="store_true",
+        help="tanh-approximate GELU in the artifact (serving throughput mode)",
+    )
     p.add_argument("--output", required=True, help="output .mrclip artifact path")
     args = p.parse_args(argv)
 
@@ -51,6 +55,7 @@ def main(argv=None) -> str:
         precision=args.precision,
         pretrained=args.pretrained or args.checkpoint,
         init_params=not (args.pretrained or args.checkpoint),
+        gelu_approx=args.gelu_approx,
         scan_layers=False,  # unrolled layout: serving default, required for --int8
     )
     exported = export_model(
