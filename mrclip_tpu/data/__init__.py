@@ -115,14 +115,13 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
     if getattr(args, "native_loader", False):
         from .native_loader import NativeBatchLoader
 
+        aug = None
         if is_train and getattr(args, "aug_cfg", None):
             from ..transforms import AugmentationCfg, validate_aug_cfg
 
-            aug = args.aug_cfg
-            validate_aug_cfg(
-                AugmentationCfg(**aug) if isinstance(aug, dict) else aug,
-                backend="native",
-            )
+            raw = args.aug_cfg
+            aug = AugmentationCfg(**raw) if isinstance(raw, dict) else raw
+            validate_aug_cfg(aug, backend="native")
 
         size = getattr(args, "image_size", 224)
         loader = NativeBatchLoader(
@@ -135,6 +134,7 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
             num_threads=getattr(args, "workers", 0),
             drop_last=is_train,
             augment=is_train,  # train: full native warp; eval: shortest+crop
+            aug_cfg=aug,
             eval_resize_mode=getattr(args, "image_resize_mode", None) or "cover",
             seed=seed,
         )

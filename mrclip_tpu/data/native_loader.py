@@ -20,7 +20,7 @@ from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import numpy as np
 
-from ..native import augment_batch, augment_matrices, load_batch
+from ..native import augment_batch, augment_matrices, color_jitter_params, load_batch
 from .csv_dataset import extract_times
 
 __all__ = ["NativeBatchLoader"]
@@ -41,6 +41,7 @@ class NativeBatchLoader:
         prefetch_batches: int = 4,
         drop_last: bool = True,
         augment: bool = False,
+        aug_cfg=None,  # AugmentationCfg: scale + optional color extras
         eval_resize_mode: str = "cover",
         eval_interpolation: str = "bicubic",
         seed: int = 0,
@@ -55,6 +56,7 @@ class NativeBatchLoader:
         self.prefetch_batches = prefetch_batches
         self.drop_last = drop_last
         self.augment = augment
+        self.aug_cfg = aug_cfg
         self.eval_resize_mode = eval_resize_mode
         self.eval_interpolation = eval_interpolation
         self.seed = seed
@@ -88,10 +90,21 @@ class NativeBatchLoader:
                 (self.seed * 1_000_003 + self._epoch * 131 + self._batch_counter) % (2**31)
             )
             self._batch_counter += 1
-            matrices = augment_matrices(rng, len(paths))
+            aug = self.aug_cfg
+            matrices = augment_matrices(
+                rng, len(paths),
+                crop_scale=tuple(aug.scale) if aug and aug.scale else (0.9, 1.0),
+            )
             sigmas = rng.uniform(0.1, 2.0, len(paths)).astype(np.float32)
+            colors = color_jitter_params(
+                rng, len(paths),
+                color_jitter=aug.color_jitter if aug else None,
+                color_jitter_prob=(aug.color_jitter_prob or 0.0) if aug else 0.0,
+                gray_scale_prob=(aug.gray_scale_prob or 0.0) if aug else 0.0,
+            ) if aug else None
             images, status = augment_batch(
-                paths, self.canvas_size, matrices, sigmas, num_threads=self.num_threads
+                paths, self.canvas_size, matrices, sigmas, color_params=colors,
+                num_threads=self.num_threads,
             )
         else:
             # eval: aspect-preserving shortest-edge + center crop by default,

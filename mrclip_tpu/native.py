@@ -15,7 +15,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "load_batch", "decode_png"]
+__all__ = ["native_available", "load_batch", "decode_png", "augment_batch", "augment_matrices", "color_jitter_params"]
 
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets", "libmrclip_native.so")
 _lib = None
@@ -212,15 +212,43 @@ def augment_matrices(
     return out
 
 
+def color_jitter_params(
+    rng: np.random.RandomState,
+    n: int,
+    color_jitter=None,
+    color_jitter_prob: float = 0.0,
+    gray_scale_prob: float = 0.0,
+) -> Optional[np.ndarray]:
+    """Per-image color params [n, 6] for the native warp:
+    (brightness, contrast, saturation, hue_shift, apply_jitter, apply_gray).
+    torchvision factor draws: f ~ U[max(0,1-s), 1+s]; hue ~ U[-h, h].
+    Returns None when no color extras are requested."""
+    if not color_jitter_prob and not gray_scale_prob:
+        return None
+    out = np.zeros((n, 6), np.float32)
+    out[:, :3] = 1.0
+    if color_jitter_prob and color_jitter is not None:
+        b, c, s, h = color_jitter
+        for j, strength in enumerate((b, c, s)):
+            out[:, j] = rng.uniform(max(0.0, 1.0 - strength), 1.0 + strength, n)
+        out[:, 3] = rng.uniform(-h, h, n)
+        out[:, 4] = rng.rand(n) < color_jitter_prob
+    if gray_scale_prob:
+        out[:, 5] = rng.rand(n) < gray_scale_prob
+    return out
+
+
 def augment_batch(
     paths: List[str],
     out_size: Tuple[int, int],
     matrices: np.ndarray,
     blur_sigmas: Optional[np.ndarray] = None,
+    color_params: Optional[np.ndarray] = None,
     channels: int = 3,
     num_threads: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode + warp + blur a batch natively -> [N, H, W, C] uint8."""
+    """Decode + warp + blur (+ optional color jitter/grayscale) a batch
+    natively -> [N, H, W, C] uint8."""
     lib = _get_lib()
     n = len(paths)
     oh, ow = out_size
@@ -237,17 +265,23 @@ def augment_batch(
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ]
         lib._augment_configured = True
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    cp_ptr = None
+    if color_params is not None:
+        color_params = np.ascontiguousarray(color_params, np.float32)
+        assert color_params.shape == (n, 6)
+        cp_ptr = color_params.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     lib.mrclip_augment_batch(
         c_paths, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         oh, ow, channels,
         matrices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         blur_sigmas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cp_ptr,
         num_threads,
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )

@@ -270,12 +270,8 @@ def validate_aug_cfg(aug: AugmentationCfg, backend: str = "host") -> None:
             "by the timm pipeline (unavailable); set color_jitter_prob to "
             "apply jitter in the MR-CLIP chain (reference transform.py:349-352)"
         )
-    if backend == "native" and (aug.color_jitter_prob or aug.gray_scale_prob):
-        raise NotImplementedError(
-            "--native-loader implements the geometry+blur chain only; "
-            "color_jitter/gray_scale extras need the host transform "
-            "(workers) or --device-augment path."
-        )
+    # All three backends (host PIL, device XLA, native C++) implement the
+    # color extras; nothing further to gate per-backend.
 
 
 class TrainTransform:

@@ -277,6 +277,104 @@ inline void sample_bilinear(const uint8_t* src, int sh, int sw, int c,
   }
 }
 
+// --- color ops (torchvision-equivalent math on uint8, float internally) ---
+
+inline float luma(const uint8_t* px) {
+  // torchvision rgb_to_grayscale weights
+  return 0.2989f * px[0] + 0.587f * px[1] + 0.114f * px[2];
+}
+
+void rgb_to_hsv(float r, float g, float b, float* h, float* s, float* v) {
+  float mx = r > g ? (r > b ? r : b) : (g > b ? g : b);
+  float mn = r < g ? (r < b ? r : b) : (g < b ? g : b);
+  float d = mx - mn;
+  *v = mx;
+  *s = mx > 0.f ? d / mx : 0.f;
+  if (d <= 0.f) {
+    *h = 0.f;
+    return;
+  }
+  float hh;
+  if (mx == r)
+    hh = (g - b) / d;
+  else if (mx == g)
+    hh = 2.f + (b - r) / d;
+  else
+    hh = 4.f + (r - g) / d;
+  hh /= 6.f;
+  if (hh < 0.f) hh += 1.f;
+  *h = hh;
+}
+
+void hsv_to_rgb(float h, float s, float v, float* r, float* g, float* b) {
+  float i = std::floor(h * 6.f);
+  float f = h * 6.f - i;
+  float p = v * (1.f - s);
+  float q = v * (1.f - f * s);
+  float t = v * (1.f - (1.f - f) * s);
+  switch (((int)i % 6 + 6) % 6) {
+    case 0: *r = v; *g = t; *b = p; break;
+    case 1: *r = q; *g = v; *b = p; break;
+    case 2: *r = p; *g = v; *b = t; break;
+    case 3: *r = p; *g = q; *b = v; break;
+    case 4: *r = t; *g = p; *b = v; break;
+    default: *r = v; *g = p; *b = q; break;
+  }
+}
+
+// Color jitter + grayscale on an RGB uint8 canvas. `cp` = 6 floats per image:
+// (brightness_factor, contrast_factor, saturation_factor, hue_shift_turns,
+// apply_jitter, apply_gray); factor 1 / shift 0 = identity. Fixed op order
+// brightness -> contrast -> saturation -> hue (matches the device backend;
+// the host/PIL backend randomizes the order per sample).
+void color_jitter_u8(uint8_t* img, int h, int w, const float* cp) {
+  bool jitter = cp[4] > 0.5f;
+  bool gray = cp[5] > 0.5f;
+  if (!jitter && !gray) return;
+  size_t n = (size_t)h * w;
+  if (jitter) {
+    float fb = cp[0], fc = cp[1], fs = cp[2], fh = cp[3];
+    if (fb != 1.f) {
+      for (size_t i = 0; i < n * 3; ++i) img[i] = clamp_u8(img[i] * fb);
+    }
+    if (fc != 1.f) {
+      // torchvision adjust_contrast: blend with the mean of the grayscale
+      double acc = 0.0;
+      for (size_t i = 0; i < n; ++i) acc += luma(img + i * 3);
+      float mean = (float)(acc / n);
+      for (size_t i = 0; i < n * 3; ++i)
+        img[i] = clamp_u8(mean + fc * (img[i] - mean));
+    }
+    if (fs != 1.f) {
+      for (size_t i = 0; i < n; ++i) {
+        uint8_t* px = img + i * 3;
+        float l = luma(px);
+        for (int c = 0; c < 3; ++c) px[c] = clamp_u8(l + fs * (px[c] - l));
+      }
+    }
+    if (fh != 0.f) {
+      for (size_t i = 0; i < n; ++i) {
+        uint8_t* px = img + i * 3;
+        float hh, ss, vv, r, g, b;
+        rgb_to_hsv(px[0] / 255.f, px[1] / 255.f, px[2] / 255.f, &hh, &ss, &vv);
+        hh += fh;
+        hh -= std::floor(hh);
+        hsv_to_rgb(hh, ss, vv, &r, &g, &b);
+        px[0] = clamp_u8(r * 255.f);
+        px[1] = clamp_u8(g * 255.f);
+        px[2] = clamp_u8(b * 255.f);
+      }
+    }
+  }
+  if (gray) {
+    for (size_t i = 0; i < n; ++i) {
+      uint8_t* px = img + i * 3;
+      uint8_t l = clamp_u8(luma(px));
+      px[0] = px[1] = px[2] = l;
+    }
+  }
+}
+
 // Separable 3x3 gaussian blur, sigma per image.
 void blur3(uint8_t* img, int h, int w, int c, float sigma, float* tmp) {
   float k1 = std::exp(-0.5f / (sigma * sigma));
@@ -314,10 +412,13 @@ extern "C" {
 // `matrices`: [n, 6] row-major (a, b, tx, c, d, ty) in NORMALIZED input
 // coords: src_x = (a*x + b*y + tx) * (sw-1), src_y = (c*x + d*y + ty) * (sh-1)
 // where (x, y) are normalized output coords in [0, 1].
+// `color_params` (nullable): [n, 6] per-image
+// (brightness, contrast, saturation, hue_shift, apply_jitter, apply_gray)
+// applied after the blur (reference transform.py:349-357 ordering).
 void mrclip_augment_batch(const char** paths, int n, uint8_t* out, int out_h,
                           int out_w, int channels, const float* matrices,
-                          const float* blur_sigmas, int num_threads,
-                          int* status) {
+                          const float* blur_sigmas, const float* color_params,
+                          int num_threads, int* status) {
   std::atomic<int> next{0};
   const size_t out_stride = (size_t)out_h * out_w * channels;
 
@@ -376,6 +477,8 @@ void mrclip_augment_batch(const char** paths, int n, uint8_t* out, int out_h,
       }
       if (blur_sigmas && blur_sigmas[i] > 0.f)
         blur3(dst, out_h, out_w, channels, blur_sigmas[i], tmp.data());
+      if (color_params && channels == 3)
+        color_jitter_u8(dst, out_h, out_w, color_params + (size_t)i * 6);
     }
   };
 

@@ -135,3 +135,86 @@ def test_native_to_device_augment(tmp_path):
 
     ev = eval_preprocess_batch(jnp.asarray(canvas), out_size=(224, 224))
     assert ev.shape == (4, 224, 224, 3)
+
+
+def test_native_color_jitter_matches_numpy_oracle(tmp_path):
+    """C++ color jitter/grayscale == the torchvision-equivalent math
+    (brightness -> contrast(gray-mean blend) -> saturation(luma blend) ->
+    hue(HSV shift) -> grayscale), within uint8 rounding."""
+    from mrclip_tpu.native import augment_batch
+
+    arr = _smooth_rgb(96, 96, seed=5)
+    p = str(tmp_path / "c.png")
+    Image.fromarray(arr, "RGB").save(p)
+
+    # identity geometry: unit matrix in normalized coords, no blur
+    ident = np.array([[1, 0, 0, 0, 1, 0]], np.float32)
+    base, st = augment_batch([p], (96, 96), ident, np.zeros((1,), np.float32))
+    assert (st == 0).all()
+    np.testing.assert_array_equal(base[0], arr)  # identity warp sanity
+
+    cp = np.array([[1.3, 0.7, 1.5, 0.08, 1.0, 0.0]], np.float32)
+    out, _ = augment_batch(
+        [p], (96, 96), ident, np.zeros((1,), np.float32), color_params=cp
+    )
+
+    def np_oracle(img, b, c, s, h):
+        x = img.astype(np.float32)
+        x = np.clip(x * b, 0, 255)
+        luma = x @ np.array([0.2989, 0.587, 0.114], np.float32)
+        mean = luma.mean()
+        x = np.clip(mean + c * (x - mean), 0, 255)
+        luma = x @ np.array([0.2989, 0.587, 0.114], np.float32)
+        x = np.clip(luma[..., None] + s * (x - luma[..., None]), 0, 255)
+        import colorsys
+        flat = x.reshape(-1, 3) / 255.0
+        out = np.empty_like(flat)
+        for i, (r, g, bl) in enumerate(flat):
+            hh, ll, ss = colorsys.rgb_to_hsv(r, g, bl)
+            out[i] = colorsys.hsv_to_rgb((hh + h) % 1.0, ll, ss)
+        return np.clip(out.reshape(x.shape) * 255.0, 0, 255)
+
+    ref = np_oracle(arr, 1.3, 0.7, 1.5, 0.08)
+    # uint8 rounding accumulates across the 4 sequential ops
+    maxdiff = np.abs(out[0].astype(np.float32) - ref).max()
+    assert maxdiff <= 4.0, maxdiff
+
+    gray_cp = np.array([[1, 1, 1, 0, 0, 1]], np.float32)
+    gout, _ = augment_batch(
+        [p], (96, 96), ident, np.zeros((1,), np.float32), color_params=gray_cp
+    )
+    assert (gout[0][..., 0] == gout[0][..., 1]).all()
+    assert (gout[0][..., 1] == gout[0][..., 2]).all()
+
+
+def test_native_loader_color_extras_e2e(tmp_path):
+    """NativeBatchLoader applies color extras from AugmentationCfg: with
+    gray_scale_prob=1 every produced canvas is channel-equal."""
+    from mrclip_tpu.data.native_loader import NativeBatchLoader
+    from mrclip_tpu.transforms import AugmentationCfg
+
+    paths = []
+    for i in range(4):
+        arr = _smooth_rgb(80, 64, seed=i)
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(arr, "RGB").save(p)
+        paths.append(p)
+
+    class DS:
+        images = paths
+        captions = ["a"] * 4
+        labels = [0, 1, 0, 1]
+
+        def __len__(self):
+            return 4
+
+    loader = NativeBatchLoader(
+        DS(), batch_size=2, canvas_size=(64, 64), augment=True,
+        aug_cfg=AugmentationCfg(gray_scale_prob=1.0), drop_last=True,
+    )
+    got = 0
+    for batch in loader:
+        imgs = batch["images"]
+        np.testing.assert_array_equal(imgs[..., 0], imgs[..., 1])
+        got += imgs.shape[0]
+    assert got == 4

@@ -143,15 +143,14 @@ def test_unknown_aug_key_raises():
         image_transform(64, is_train=True, aug_cfg={"bogus_knob": 1})
 
 
-def test_native_backend_rejects_color_extras():
+def test_native_backend_accepts_color_extras():
     from mrclip_tpu.transforms import validate_aug_cfg
 
-    with pytest.raises(NotImplementedError, match="native"):
-        validate_aug_cfg(
-            AugmentationCfg(color_jitter=(0.4, 0.4, 0.4, 0.1), color_jitter_prob=0.8),
-            backend="native",
-        )
-    # geometry-only cfg is fine on the native backend
+    # all three backends implement the color extras now
+    validate_aug_cfg(
+        AugmentationCfg(color_jitter=(0.4, 0.4, 0.4, 0.1), color_jitter_prob=0.8),
+        backend="native",
+    )
     validate_aug_cfg(AugmentationCfg(scale=(0.8, 1.0)), backend="native")
 
 
