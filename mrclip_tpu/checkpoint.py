@@ -201,7 +201,12 @@ def _convert_hf_text_tower(
     # The converter only reads `base_model_prefix` and a shape-bearing
     # `params` tree; eval_shape gives that without materializing a full
     # random init (xlm-roberta would otherwise allocate ~1GB per load).
-    fm = FlaxAutoModel.from_config(hf_config, _do_init=False)
+    if hf_config.model_type in ("t5", "mt5"):
+        from transformers import FlaxT5EncoderModel
+
+        fm = FlaxT5EncoderModel(hf_config, _do_init=False)
+    else:
+        fm = FlaxAutoModel.from_config(hf_config, _do_init=False)
     shapes = jax.eval_shape(
         lambda: fm.init_weights(jax.random.PRNGKey(0), (1, 8))
     )
@@ -213,6 +218,19 @@ def _convert_hf_text_tower(
     pt_sd = {
         k[len(prefix):]: torch.from_numpy(np.array(sd[k])) for k in hf_keys
     }
+    if hf_config.model_type in ("t5", "mt5"):
+        # Reference t5 towers store the seq2seq model's *encoder half*
+        # (a T5Stack: `embed_tokens.weight`, `block.*`, `final_layer_norm.*`,
+        # hf_model.py:117-126); the encoder-only Flax layout nests those
+        # under `encoder/` with the tied embedding at `shared`.
+        def _t5_key(k: str) -> str:
+            if k.startswith("encoder.") or k.startswith("shared."):
+                return k
+            if k.startswith("embed_tokens."):
+                return "shared." + k[len("embed_tokens."):]
+            return "encoder." + k
+
+        pt_sd = {_t5_key(k): v for k, v in pt_sd.items()}
     hf_params = convert_pytorch_state_dict_to_flax(pt_sd, _Shim())
     out: dict = {"hf": dict(hf_params)}
     if "text.proj.weight" in sd:

@@ -58,21 +58,28 @@ def _flax_module_class(hf_config):
         from .m2m100 import M2M100Encoder
 
         return M2M100Encoder
+    if hf_config.model_type in ("t5", "mt5"):
+        # Reference hf_model.py:117-126 builds the seq2seq model and keeps
+        # only `.encoder`; transformers ships an encoder-only Flax class
+        # (FlaxT5EncoderModule, shared by t5 and mt5) with a plain
+        # (input_ids, attention_mask) signature — no decoder inputs needed.
+        from transformers import FlaxT5EncoderModel
+
+        return FlaxT5EncoderModel.module_class
     mapping = FlaxAutoModel._model_mapping
     if getattr(hf_config, "is_encoder_decoder", False):
         raise RuntimeError(
-            f"HF architecture '{hf_config.model_type}' is encoder-decoder; "
-            "its Flax module requires decoder inputs and is not usable as a "
+            f"HF architecture '{hf_config.model_type}' is encoder-decoder "
+            "and has no encoder-only Flax class; it is not usable as a "
             "CLIP text tower here (m2m_100/nllb has a native encoder port; "
-            "t5 does not)."
+            "t5/mt5 use FlaxT5EncoderModel)."
         )
     if type(hf_config) not in mapping:
         raise RuntimeError(
             f"No Flax port for HF architecture '{hf_config.model_type}'. "
             "HF text towers on the TPU path require an encoder architecture "
             "with a Flax implementation (bert, roberta, distilbert, electra, "
-            "...) or the native m2m_100 port. Encoder-decoder models (t5) "
-            "are not supported: their Flax modules require decoder inputs."
+            "t5, mt5, ...) or the native m2m_100 port."
         )
     return mapping[type(hf_config)].module_class
 
@@ -95,6 +102,17 @@ def load_hf_pretrained_params(model_name: str) -> dict:
         torch_model = AutoModel.from_pretrained(model_name)
         sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
         return m2m100_torch_encoder_to_flax(sd)
+    if cfg.model_type in ("t5", "mt5"):
+        from transformers import FlaxT5EncoderModel
+
+        try:
+            res = FlaxT5EncoderModel.from_pretrained(model_name, _do_init=False)
+        except (OSError, EnvironmentError):
+            res = FlaxT5EncoderModel.from_pretrained(
+                model_name, _do_init=False, from_pt=True
+            )
+        params = res[1] if isinstance(res, tuple) else res.params
+        return jax.tree.map(jnp.asarray, dict(params))
     try:
         res = FlaxAutoModel.from_pretrained(model_name, _do_init=False)
     except (OSError, EnvironmentError):

@@ -167,6 +167,84 @@ def test_hf_lock_layer_norm_unfrozen_option():
     assert other_vals and all(v == 0.0 for v in other_vals)
 
 
+def test_hf_t5_tower_oracle_parity():
+    """t5/mt5 text towers (reference hf_model.py:117-126 keeps the seq2seq
+    model's encoder half) run through FlaxT5EncoderModule; a reference-layout
+    checkpoint (`text.transformer.<T5Stack keys>`) imports and reproduces the
+    torch encoder -> masked mean pool -> linear proj forward."""
+    torch = pytest.importorskip("torch")
+    from transformers import T5Config, T5Model
+
+    from mrclip_tpu.checkpoint import import_torch_state_dict
+    from mrclip_tpu.parallel.freeze import build_trainable_mask
+
+    tiny_t5 = {
+        "model_type": "t5",
+        "vocab_size": 96,
+        "d_model": 32,
+        "d_kv": 8,
+        "d_ff": 64,
+        "num_layers": 2,
+        "num_heads": 4,
+        "relative_attention_num_buckets": 8,
+        "pad_token_id": 0,
+        "decoder_start_token_id": 0,
+        "dropout_rate": 0.0,
+    }
+    text_cfg = dict(
+        TEXT_HF,
+        hf_model_name="local/test-tiny-t5",
+        hf_model_config=tiny_t5,
+        hf_proj_type="linear",
+        hf_pooler_type="mean_pooler",
+        pad_id=0,
+        vocab_size=96,
+    )
+    model = CLIP(embed_dim=16, vision_cfg=VISION_MINI, text_cfg=text_cfg,
+                 scan_layers=False)
+    rng = np.random.RandomState(0)
+    toks = rng.randint(2, 96, (2, 16)).astype(np.int32)
+    toks[0, 10:] = 0  # ragged padding exercises mask + relative-bias interplay
+    toks = jnp.asarray(toks)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = dict(model.init(jax.random.key(0), imgs, toks))
+
+    torch.manual_seed(0)
+    cfg = T5Config(**{k: v for k, v in tiny_t5.items() if k != "model_type"})
+    enc = T5Model(cfg).encoder.eval()  # the reference's `transformer` attr
+    w = torch.randn(16, 32) * 0.05
+    sd = {f"text.transformer.{k}": v.numpy() for k, v in enc.state_dict().items()}
+    sd["text.proj.weight"] = w.numpy()
+
+    params = import_torch_state_dict(sd, scan_layers=False, hf_text_cfg=text_cfg)
+    variables["params"] = dict(variables["params"], text=params["text"])
+    ours = np.asarray(model.apply(variables, None, toks)["text_features"], np.float64)
+    ours = ours / np.linalg.norm(ours, axis=-1, keepdims=True)
+
+    t_toks = torch.from_numpy(np.asarray(toks)).long()
+    mask = (t_toks != 0)
+    with torch.no_grad():
+        h = enc(input_ids=t_toks, attention_mask=mask.long()).last_hidden_state
+        m = mask.float().unsqueeze(-1)
+        pooled = (h * m).sum(1) / m.sum(1).clamp(min=1.0)
+        want = torch.nn.functional.normalize(pooled @ w.T, dim=-1).numpy()
+    np.testing.assert_allclose(ours, want, atol=2e-5)
+
+    # lock semantics find the t5 layer stack (encoder/block/{0,1})
+    class Args:
+        lock_image = False
+        lock_text = True
+        lock_text_unlocked_layers = 1
+        lock_text_freeze_layer_norm = True
+        freeze = False
+
+    lock = build_trainable_mask(variables["params"], Args())
+    hf_mask = lock["text"]["hf"]
+    assert all(v == 0.0 for v in jax.tree.leaves(hf_mask["encoder"]["block"]["0"]))
+    assert all(v == 1.0 for v in jax.tree.leaves(hf_mask["encoder"]["block"]["1"]))
+    assert all(v == 0.0 for v in jax.tree.leaves(hf_mask["shared"]))
+
+
 def test_biomed_config_builds_offline():
     """ViT-B-16-biomed builds abstractly with zero hub access (inline
     hf_model_config); weight download is a separate, gated overlay."""
