@@ -33,6 +33,7 @@ CONVNEXT_DIMS = {
     "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
     "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
     "convnext_xlarge": ((3, 3, 27, 3), (256, 512, 1024, 2048)),
+    "convnext_xxlarge": ((3, 4, 30, 3), (384, 768, 1536, 3072)),
 }
 
 

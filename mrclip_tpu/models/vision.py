@@ -106,6 +106,11 @@ class VisionTransformer(nn.Module):
         # conv kernel shape/path ([ph, pw, 3, width] at visual/conv1/kernel)
         # for checkpoint compatibility.
         x = images.astype(self.dtype)
+        if x.shape[1] != gh * ph or x.shape[2] != gw * pw:
+            # Non-divisible image sizes (e.g. SigLIP so400m @384, patch 14):
+            # a stride-p VALID conv drops the trailing remainder pixels, so
+            # crop to the covered region (big_vision patchify semantics).
+            x = x[:, : gh * ph, : gw * pw, :]
         x = x.reshape(b, gh, ph, gw, pw, 3)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, ph * pw * 3)
         x = _PatchEmbed(

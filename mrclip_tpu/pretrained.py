@@ -67,8 +67,8 @@ _GH = "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights
 
 # Tags for every architecture this framework ships a config for (reference
 # pretrained.py:93-608; the reference's full table also carries archs that
-# have no config here — convnext/EVA/nllb/roberta variants — which are noted
-# as gaps in PARITY.md rather than listed unloadable).
+# have no config here — EVA/CLIPA/ViTamin/MobileCLIP timm-module families —
+# which are noted as gaps in PARITY.md rather than listed unloadable).
 _PRETRAINED: Dict[str, Dict[str, dict]] = {
     "RN50": {
         "openai": _apcfg(
@@ -86,6 +86,27 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         "yfcc15m": _apcfg(
             url=f"{_GH}/rn101-quickgelu-yfcc15m-3e04b30e.pt",
             hf_hub="timm/resnet101_clip.yfcc15m/",
+            quick_gelu=True,
+        ),
+    },
+    "RN50x4": {
+        "openai": _apcfg(
+            url=f"{_OPENAI_BASE}/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt",
+            hf_hub="timm/resnet50x4_clip.openai/",
+            quick_gelu=True,
+        ),
+    },
+    "RN50x16": {
+        "openai": _apcfg(
+            url=f"{_OPENAI_BASE}/52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa/RN50x16.pt",
+            hf_hub="timm/resnet50x16_clip.openai/",
+            quick_gelu=True,
+        ),
+    },
+    "RN50x64": {
+        "openai": _apcfg(
+            url=f"{_OPENAI_BASE}/be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c/RN50x64.pt",
+            hf_hub="timm/resnet50x64_clip.openai/",
             quick_gelu=True,
         ),
     },
@@ -124,6 +145,21 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         "commonpool_s_text_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.text-s13M-b4K/"),
         "commonpool_s_basic_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.basic-s13M-b4K/"),
         "commonpool_s_s13m_b4k": _apcfg(hf_hub="laion/CLIP-ViT-B-32-CommonPool.S-s13M-b4K/"),
+    },
+    "ViT-B-32-256": {
+        "datacomp_s34b_b86k": _apcfg(
+            hf_hub="laion/CLIP-ViT-B-32-256x256-DataComp-s34B-b86K/"
+        ),
+    },
+    "ViT-B-16-plus-240": {
+        "laion400m_e31": _apcfg(
+            url=f"{_GH}/vit_b_16_plus_240-laion400m_e31-8fb26589.pt",
+            hf_hub="timm/vit_base_patch16_plus_clip_240.laion400m_e31/",
+        ),
+        "laion400m_e32": _apcfg(
+            url=f"{_GH}/vit_b_16_plus_240-laion400m_e32-699c4b84.pt",
+            hf_hub="timm/vit_base_patch16_plus_clip_240.laion400m_e31/",
+        ),
     },
     "ViT-B-16": {
         "openai": _apcfg(
@@ -197,6 +233,19 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "dfn5b": _apcfg(hf_hub="apple/DFN5B-CLIP-ViT-H-14/", quick_gelu=True),
     },
+    "ViT-H-14-378": {
+        "dfn5b": _apcfg(
+            hf_hub="apple/DFN5B-CLIP-ViT-H-14-378/",
+            quick_gelu=True,
+            interpolation="bicubic",
+            resize_mode="squash",
+        ),
+    },
+    "convnext_base": {
+        "laion400m_s13b_b51k": _apcfg(
+            hf_hub="laion/CLIP-convnext_base-laion400M-s13B-b51K/"
+        ),
+    },
     "convnext_base_w": {
         # native NHWC ConvNeXt tower; visual.trunk.* remap
         "laion2b_s13b_b82k": _apcfg(
@@ -204,6 +253,25 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "laion2b_s13b_b82k_augreg": _apcfg(
             hf_hub="laion/CLIP-convnext_base_w-laion2B-s13B-b82K-augreg/"
+        ),
+    },
+    "convnext_base_w_320": {
+        "laion_aesthetic_s13b_b82k": _apcfg(
+            hf_hub="laion/CLIP-convnext_base_w_320-laion_aesthetic-s13B-b82K/"
+        ),
+        "laion_aesthetic_s13b_b82k_augreg": _apcfg(
+            hf_hub="laion/CLIP-convnext_base_w_320-laion_aesthetic-s13B-b82K-augreg/"
+        ),
+    },
+    "convnext_xxlarge": {
+        "laion2b_s34b_b82k_augreg": _apcfg(
+            hf_hub="laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg/"
+        ),
+        "laion2b_s34b_b82k_augreg_rewind": _apcfg(
+            hf_hub="laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg-rewind/"
+        ),
+        "laion2b_s34b_b82k_augreg_soup": _apcfg(
+            hf_hub="laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg-soup/"
         ),
     },
     "ViT-B-16-biomed": {
@@ -221,6 +289,11 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
     "xlm-roberta-base-ViT-B-32": {
         "laion5b_s13b_b90k": _apcfg(
             hf_hub="laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k/"
+        ),
+    },
+    "xlm-roberta-large-ViT-H-14": {
+        "frozen_laion5b_s13b_b90k": _apcfg(
+            hf_hub="laion/CLIP-ViT-H-14-frozen-xlm-roberta-large-laion5B-s13B-b90k/"
         ),
     },
     "ViT-g-14": {
@@ -243,11 +316,20 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
     # squash resize (reference _slpcfg).
     "ViT-B-16-SigLIP": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP/")},
     "ViT-B-16-SigLIP-256": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-256/")},
+    "ViT-B-16-SigLIP-i18n-256": {
+        "webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-i18n-256/")
+    },
     "ViT-B-16-SigLIP-384": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-384/")},
     "ViT-B-16-SigLIP-512": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-512/")},
     "ViT-L-16-SigLIP-256": {"webli": _slpcfg(hf_hub="timm/ViT-L-16-SigLIP-256/")},
     "ViT-L-16-SigLIP-384": {"webli": _slpcfg(hf_hub="timm/ViT-L-16-SigLIP-384/")},
     "ViT-SO400M-14-SigLIP": {"webli": _slpcfg(hf_hub="timm/ViT-SO400M-14-SigLIP/")},
+    "ViT-SO400M-14-SigLIP-384": {
+        "webli": _slpcfg(hf_hub="timm/ViT-SO400M-14-SigLIP-384/")
+    },
+    "ViT-SO400M-16-SigLIP-i18n-256": {
+        "webli": _slpcfg(hf_hub="timm/ViT-SO400M-16-SigLIP-i18n-256/")
+    },
     # 378 = 27*14: the released "384" weights at the nearest patch-divisible
     # size (the reference does the same, pretrained.py SO400M-378 entry).
     "ViT-SO400M-14-SigLIP-378": {
@@ -263,6 +345,12 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         "laion2b_s13b_b90k": _apcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
         "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(
             hf_hub="laion/mscoco_finetuned_CoCa-ViT-B-32-laion2B-s13B-b90k/"
+        ),
+    },
+    "coca_ViT-L-14": {
+        "laion2b_s13b_b90k": _apcfg(hf_hub="laion/CoCa-ViT-L-14-laion2B-s13B-b90k/"),
+        "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(
+            hf_hub="laion/mscoco_finetuned_CoCa-ViT-L-14-laion2B-s13B-b90k/"
         ),
     },
 }

@@ -144,3 +144,53 @@ def test_pretrained_registry():
     assert "openai" in list_pretrained_tags_by_model("RN50")
     cfg = get_pretrained_cfg("ViT-B-16", "openai")
     assert cfg.get("quick_gelu") is True
+
+
+def test_pretrained_registry_breadth_and_config_consistency():
+    """Every registry arch must ship a buildable config (the reference
+    registers tags for archs whose configs it dropped; here tags and configs
+    stay consistent), and the broadened r3 registry covers the openai RN
+    scales, convnext family, SigLIP i18n/384 and xlm-large archs."""
+    from mrclip_tpu.factory import list_models
+    from mrclip_tpu.pretrained import _PRETRAINED
+
+    models = set(list_models())
+    missing = [a for a in _PRETRAINED if a not in models]
+    assert not missing, f"registry archs without configs: {missing}"
+    for arch, tag in [
+        ("RN50x4", "openai"), ("RN50x16", "openai"), ("RN50x64", "openai"),
+        ("ViT-B-16-plus-240", "laion400m_e32"),
+        ("ViT-B-32-256", "datacomp_s34b_b86k"),
+        ("ViT-H-14-378", "dfn5b"),
+        ("coca_ViT-L-14", "laion2b_s13b_b90k"),
+        ("convnext_base", "laion400m_s13b_b51k"),
+        ("convnext_base_w_320", "laion_aesthetic_s13b_b82k"),
+        ("convnext_xxlarge", "laion2b_s34b_b82k_augreg_soup"),
+        ("ViT-B-16-SigLIP-i18n-256", "webli"),
+        ("ViT-SO400M-14-SigLIP-384", "webli"),
+        ("ViT-SO400M-16-SigLIP-i18n-256", "webli"),
+        ("xlm-roberta-large-ViT-H-14", "frozen_laion5b_s13b_b90k"),
+    ]:
+        assert is_pretrained_cfg(arch, tag), f"missing tag {arch}:{tag}"
+    assert len(list_pretrained()) >= 95
+
+
+def test_patchify_crops_non_divisible_image():
+    """Non-patch-divisible image sizes (SigLIP so400m @384, patch 14) drop
+    the trailing remainder pixels exactly like a stride-p VALID conv
+    (big_vision patchify semantics): forward(img) == forward(img cropped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrclip_tpu.models.vision import VisionTransformer
+
+    vt = VisionTransformer(
+        image_size=36, patch_size=16, width=32, layers=2, heads=2,
+        output_dim=16, scan_layers=False,
+    )
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 36, 36, 3), jnp.float32)
+    variables = vt.init(jax.random.key(0), imgs)
+    full = vt.apply(variables, imgs)
+    cropped = vt.apply(variables, imgs[:, :32, :32, :])
+    np.testing.assert_allclose(np.asarray(full), np.asarray(cropped), atol=0)
