@@ -198,6 +198,16 @@ def _convert_hf_text_tower(
     hf_config = resolve_hf_config(
         text_cfg.get("hf_model_name"), text_cfg.get("hf_model_config")
     )
+    if hf_config.model_type == "m2m_100":
+        # nllb towers store the torch M2M100Encoder's own keys
+        # (embed_tokens/layers.N/layer_norm); transformers has no Flax
+        # M2M100, so remap onto the native encoder port directly.
+        from .models.m2m100 import m2m100_torch_encoder_to_flax
+
+        enc_sd = {k[len(prefix):]: np.asarray(sd[k]) for k in hf_keys}
+        out = {"hf": dict(m2m100_torch_encoder_to_flax(enc_sd))}
+        _attach_hf_proj_head(out, sd)
+        return out
     # The converter only reads `base_model_prefix` and a shape-bearing
     # `params` tree; eval_shape gives that without materializing a full
     # random init (xlm-roberta would otherwise allocate ~1GB per load).
@@ -233,12 +243,17 @@ def _convert_hf_text_tower(
         pt_sd = {_t5_key(k): v for k, v in pt_sd.items()}
     hf_params = convert_pytorch_state_dict_to_flax(pt_sd, _Shim())
     out: dict = {"hf": dict(hf_params)}
+    _attach_hf_proj_head(out, sd)
+    return out
+
+
+def _attach_hf_proj_head(out: dict, sd: Dict[str, np.ndarray]) -> None:
+    """`text.proj.*` keys -> linear/mlp proj params (hf_model.py:146-152)."""
     if "text.proj.weight" in sd:
         out["proj"] = {"kernel": sd["text.proj.weight"].T}
-    if "text.proj.0.weight" in sd:  # mlp proj (hf_model.py:146-152)
+    if "text.proj.0.weight" in sd:  # mlp proj
         out["proj_fc1"] = {"kernel": sd["text.proj.0.weight"].T}
         out["proj_fc2"] = {"kernel": sd["text.proj.2.weight"].T}
-    return out
 
 
 def import_torch_state_dict(

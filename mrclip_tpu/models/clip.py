@@ -87,7 +87,9 @@ class CLIPTextCfg:
     mlp_ratio: float = 4.0
     ls_init_value: Optional[float] = None
     embed_cls: bool = False
-    pad_id: int = 0
+    pad_id: Optional[int] = None  # None: HF towers fall back to the HF
+    # config's pad_token_id (reference hf_model.py uses config.pad_token_id);
+    # native towers use 0.
     dropout: float = 0.0
     no_causal_mask: bool = False
     final_ln_after_pool: bool = False
@@ -347,7 +349,7 @@ def build_text_tower(
         output_dim=embed_dim,
         embed_cls=text_cfg.embed_cls,
         no_causal_mask=text_cfg.no_causal_mask,
-        pad_id=text_cfg.pad_id,
+        pad_id=0 if text_cfg.pad_id is None else text_cfg.pad_id,
         pool_type=text_cfg.pool_type,
         proj_bias=text_cfg.proj_bias,
         dropout=text_cfg.dropout,

@@ -148,11 +148,16 @@ class HFTextEncoder(nn.Module):
     pretrained: bool = True  # weight overlay happens in the factory
     config: Optional[dict] = None  # inline HF config for offline builds
     output_tokens: bool = False
-    pad_id: int = 0
+    pad_id: Optional[int] = None  # None -> HF config pad_token_id (ref
+    # hf_model.py masks with config.pad_token_id)
     dtype: Dtype = jnp.float32
 
     def setup(self):
         hf_config = resolve_hf_config(self.model_name, self.config)
+        if self.pad_id is not None:
+            self._pad_id = self.pad_id
+        else:
+            self._pad_id = getattr(hf_config, "pad_token_id", None) or 0
         module_cls = _flax_module_class(hf_config)
         # Child module: params live at <tower>/hf/... in the pytree.
         # The transformer-internal pooler only exists for cls_pooler
@@ -176,7 +181,7 @@ class HFTextEncoder(nn.Module):
             self.proj_fc2 = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, name="proj_fc2")
 
     def __call__(self, tokens: jax.Array, *, deterministic: bool = True):
-        mask = (tokens != self.pad_id).astype(jnp.int32)
+        mask = (tokens != self._pad_id).astype(jnp.int32)
         # HF flax module signatures vary by arch; fill the common optional
         # inputs the wrapper classes normally default for us.
         sig = inspect.signature(type(self.hf).__call__).parameters

@@ -355,7 +355,11 @@ def build_train_step(
             return apply_updates(state, grads, ldict, new_mut)
 
     elif not cached_features_accum:
-        # Plain microbatch accumulation: mean of per-microbatch grads.
+        # Plain microbatch accumulation. Like the cached-feature branch (and
+        # the reference loop, train.py:249-251), microbatch grads are SUMMED
+        # with no 1/accum_freq scaling before the optimizer step — both accum
+        # modes must produce the same effective gradient scale under the same
+        # --accum-freq knob. Only the reported loss is averaged.
         def step_fn(state, batch, rng):
             def micro(i, batch):
                 return jax.tree.map(

@@ -63,6 +63,78 @@ def test_m2m100_encoder_matches_torch():
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
 
 
+def test_nllb_checkpoint_import_matches_torch_end_to_end():
+    """Reference-layout nllb checkpoint -> imported tower matches the torch
+    oracle (encoder -> cls pool -> linear proj).
+
+    The reference tower saves `text.transformer.<M2M100 encoder keys>` plus
+    `text.proj.weight` (hf_model.py:123-126,146-152 after
+    `self.transformer = self.transformer.encoder`); this drives
+    `checkpoint.import_torch_state_dict(hf_text_cfg=...)`'s m2m_100 branch.
+    pad_id is left unset, so the mask must fall back to the HF config's
+    pad_token_id=1 (reference masks with config.pad_token_id) — with the
+    wrong pad id the padded rows would poison cls attention and this
+    equality fails.
+    """
+    import torch
+    from mrclip_tpu.checkpoint import import_torch_state_dict
+    from mrclip_tpu.models.hf_text import HFTextEncoder
+
+    ids, mask = _inputs()
+    sd, hidden = _torch_oracle(ids, mask)  # full M2M100Model state dict
+
+    embed_dim, d = 16, TINY["d_model"]
+    proj_w = np.random.RandomState(3).randn(embed_dim, d).astype(np.float32) * 0.1
+    ref = hidden[:, 0] @ proj_w.T  # cls_pooler + bias-free linear proj
+
+    ckpt = {
+        "text.transformer." + k[len("encoder."):]: torch.from_numpy(v)
+        for k, v in sd.items()
+        if k.startswith("encoder.")
+    }
+    ckpt["text.proj.weight"] = torch.from_numpy(proj_w)
+
+    text_cfg = {
+        "hf_model_name": "local/test-tiny-nllb",
+        "hf_model_config": dict(TINY, model_type="m2m_100"),
+    }
+    params = import_torch_state_dict(ckpt, hf_text_cfg=text_cfg)["text"]
+
+    tower = HFTextEncoder(
+        model_name="local/test-tiny-nllb",
+        output_dim=embed_dim,
+        proj_type="linear",
+        pooler_type="cls_pooler",
+        pretrained=False,
+        config=dict(TINY, model_type="m2m_100"),
+        pad_id=None,  # must resolve to config pad_token_id=1
+    )
+    out = tower.apply({"params": params}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+def test_hf_pad_id_falls_back_to_config():
+    """pad_id=None masks with the HF config's pad_token_id (here 1):
+    equal to an explicit pad_id=1 tower, different from pad_id=0."""
+    from mrclip_tpu.models.hf_text import HFTextEncoder
+
+    ids, _ = _inputs()
+    toks = jnp.asarray(ids.astype(np.int32))
+
+    def run(pad_id):
+        tower = HFTextEncoder(
+            model_name="local/test-tiny-nllb", output_dim=16,
+            proj_type="linear", pooler_type="mean_pooler", pretrained=False,
+            config=dict(TINY, model_type="m2m_100"), pad_id=pad_id,
+        )
+        params = tower.init(jax.random.key(0), toks)["params"]
+        return np.asarray(tower.apply({"params": params}, toks))
+
+    out_none, out_1, out_0 = run(None), run(1), run(0)
+    np.testing.assert_array_equal(out_none, out_1)
+    assert np.abs(out_none - out_0).max() > 1e-4
+
+
 def test_m2m100_clip_text_tower_builds_and_trains():
     """CLIP with an m2m_100 text tower: forward + grads flow (reference
     builds nllb-clip via CustomTextCLIP + HFTextEncoder)."""
