@@ -256,6 +256,60 @@ def _attach_hf_proj_head(out: dict, sd: Dict[str, np.ndarray]) -> None:
         out["proj_fc2"] = {"kernel": sd["text.proj.2.weight"].T}
 
 
+def _convert_resnet_visual(sd: Dict[str, np.ndarray]):
+    """OpenAI/open_clip ModifiedResNet checkpoint (`visual.*` keys,
+    reference modified_resnet.py:95-181) -> native `ModifiedResNet` params
+    plus BN running stats ({mean, var} per BatchNorm, the flax
+    `batch_stats` collection).
+
+    Torch layout: 3-conv stem (`conv{1..3}`/`bn{1..3}`), bottleneck stages
+    `layer{1..4}.{i}` with `conv{1..3}`/`bn{1..3}` and the anti-aliased
+    downsample Sequential saved as `downsample.0` (conv) / `downsample.1`
+    (bn), and `attnpool.{positional_embedding,q/k/v/c_proj}`.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(src):
+        return {"kernel": sd[src + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(src, p, s, dst):
+        p[dst] = {"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]}
+        s[dst] = {"mean": sd[src + ".running_mean"], "var": sd[src + ".running_var"]}
+
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = conv(f"visual.conv{i}")
+        bn(f"visual.bn{i}", params, stats, f"bn{i}")
+
+    blocks = sorted({
+        (int(m.group(1)), int(m.group(2)))
+        for k in sd
+        for m in [re.match(r"visual\.layer(\d+)\.(\d+)\.", k)]
+        if m
+    })
+    for stage, i in blocks:
+        src = f"visual.layer{stage}.{i}"
+        bp: dict = {}
+        bs: dict = {}
+        for j in (1, 2, 3):
+            bp[f"conv{j}"] = conv(f"{src}.conv{j}")
+            bn(f"{src}.bn{j}", bp, bs, f"bn{j}")
+        if f"{src}.downsample.0.weight" in sd:
+            bp["downsample_conv"] = conv(f"{src}.downsample.0")
+            bn(f"{src}.downsample.1", bp, bs, "downsample_bn")
+        params[f"layer{stage}_{i}"] = bp
+        stats[f"layer{stage}_{i}"] = bs
+
+    pool: dict = {"positional_embedding": sd["visual.attnpool.positional_embedding"]}
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        pool[proj] = {
+            "kernel": sd[f"visual.attnpool.{proj}.weight"].T,
+            "bias": sd[f"visual.attnpool.{proj}.bias"],
+        }
+    params["attnpool"] = pool
+    return params, stats
+
+
 def import_torch_state_dict(
     state_dict: Dict[str, Any],
     *,
@@ -299,8 +353,16 @@ def import_torch_state_dict(
     if "logit_bias" in sd:
         params["logit_bias"] = sd["logit_bias"].reshape(())
 
+    # --- vision tower (ModifiedResNet layout; must win over the ViT branch
+    # since both carry visual.conv1.weight) ---
+    if "visual.layer1.0.conv1.weight" in sd:
+        vis, vis_stats = _convert_resnet_visual(sd)
+        params["visual"] = vis
+        # BN running stats ride a reserved top-level key; factory.create_model
+        # pops it and overlays the flax `batch_stats` collection.
+        params["batch_stats"] = {"visual": vis_stats}
     # --- vision tower (ViT layout) ---
-    if "visual.conv1.weight" in sd:
+    elif "visual.conv1.weight" in sd:
         vis: dict = {}
         vis["conv1"] = {"kernel": sd["visual.conv1.weight"].transpose(2, 3, 1, 0)}
         vis["class_embedding"] = sd["visual.class_embedding"]
@@ -470,9 +532,39 @@ def config_from_torch_state_dict(state_dict: Dict[str, Any]) -> dict:
     def shape(key):
         return tuple(sd[key].shape)
 
-    vit = "visual.conv1.weight" in sd
-    if not vit:
-        raise NotImplementedError("shape inference currently covers ViT checkpoints")
+    if "visual.layer1.0.conv1.weight" in sd:
+        # ModifiedResNet (reference model.py:524-534): stage depths counted
+        # from block indices, width = stage-1 planes, image size recovered
+        # from the attnpool grid (reduction is always 32x).
+        counts = []
+        for b in (1, 2, 3, 4):
+            counts.append(len({
+                k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")
+            }))
+        vision_width = shape("visual.layer1.0.conv1.weight")[0]
+        grid = int(round((shape("visual.attnpool.positional_embedding")[0] - 1) ** 0.5))
+        return {
+            "embed_dim": int(shape("text_projection")[1]),
+            "vision_cfg": {
+                "image_size": int(grid * 32),
+                "layers": [int(c) for c in counts],
+                "width": int(vision_width),
+                # heads = width*32/64 in the reference builder (model.py:529)
+                "head_width": 64,
+            },
+            "text_cfg": {
+                "context_length": int(shape("positional_embedding")[0]),
+                "vocab_size": int(shape("token_embedding.weight")[0]),
+                "width": int(shape("ln_final.weight")[0]),
+                "heads": int(shape("ln_final.weight")[0]) // 64,
+                "layers": len({
+                    k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")
+                }),
+            },
+        }
+
+    if "visual.conv1.weight" not in sd:
+        raise NotImplementedError("shape inference covers ViT and ModifiedResNet checkpoints")
 
     conv = shape("visual.conv1.weight")  # torch OIHW: [width, 3, p, p]
     vision_width, _, patch, _ = conv

@@ -19,8 +19,15 @@ import numpy as np
 __all__ = ["export_torch_state_dict", "save_for_hf", "push_to_hf_hub", "generate_readme"]
 
 
-def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
-    """Flax params -> open_clip-style flat torch state dict (numpy values)."""
+def export_torch_state_dict(
+    params: dict, scan_layers: bool = True, batch_stats: Optional[dict] = None
+) -> dict:
+    """Flax params -> open_clip-style flat torch state dict (numpy values).
+
+    `batch_stats` supplies BN running stats for BatchNorm towers (RN50
+    family); without it the exported running stats fall back to the fresh
+    mean=0/var=1 a torch BatchNorm initializes with.
+    """
     sd = {}
 
     def put(key, val):
@@ -100,7 +107,48 @@ def export_torch_state_dict(params: dict, scan_layers: bool = True) -> dict:
             if ls in blk:
                 put(prefix + f"{ls}.gamma", blk[ls]["gamma"])
 
-    if "visual" in params:
+    def export_resnet_visual(vis):
+        """Native ModifiedResNet params (+ batch_stats) -> torch `visual.*`
+        layout (inverse of checkpoint._convert_resnet_visual)."""
+        stats = (batch_stats or {}).get("visual", {})
+
+        def put_conv(key, p):
+            put(key + ".weight", np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+
+        def put_bn(key, p, s):
+            put(key + ".weight", p["scale"])
+            put(key + ".bias", p["bias"])
+            put(key + ".running_mean",
+                np.asarray((s or {}).get("mean", np.zeros_like(np.asarray(p["scale"])))))
+            put(key + ".running_var",
+                np.asarray((s or {}).get("var", np.ones_like(np.asarray(p["scale"])))))
+
+        for i in (1, 2, 3):
+            put_conv(f"visual.conv{i}", vis[f"conv{i}"])
+            put_bn(f"visual.bn{i}", vis[f"bn{i}"], stats.get(f"bn{i}"))
+        blocks = sorted(
+            (k for k in vis if k.startswith("layer")),
+            key=lambda k: tuple(int(x) for x in k[len("layer"):].split("_")),
+        )
+        for name in blocks:
+            stage, i = name[len("layer"):].split("_")
+            src = f"visual.layer{stage}.{i}"
+            blk, bst = vis[name], stats.get(name, {})
+            for j in (1, 2, 3):
+                put_conv(f"{src}.conv{j}", blk[f"conv{j}"])
+                put_bn(f"{src}.bn{j}", blk[f"bn{j}"], bst.get(f"bn{j}"))
+            if "downsample_conv" in blk:
+                put_conv(f"{src}.downsample.0", blk["downsample_conv"])
+                put_bn(f"{src}.downsample.1", blk["downsample_bn"], bst.get("downsample_bn"))
+        pool = vis["attnpool"]
+        put("visual.attnpool.positional_embedding", pool["positional_embedding"])
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            put(f"visual.attnpool.{proj}.weight", np.asarray(pool[proj]["kernel"]).T)
+            put(f"visual.attnpool.{proj}.bias", pool[proj]["bias"])
+
+    if "visual" in params and "attnpool" in params["visual"]:
+        export_resnet_visual(params["visual"])
+    elif "visual" in params:
         vis = params["visual"]
         put("visual.conv1.weight", np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1))
         put("visual.class_embedding", vis["class_embedding"])
@@ -193,11 +241,12 @@ def save_for_hf(
     tokenizer=None,
     preprocess_cfg: Optional[dict] = None,
     scan_layers: bool = True,
+    batch_stats: Optional[dict] = None,
 ):
     """Write weights + open_clip_config.json (+ tokenizer) to a directory
     (reference push_to_hf_hub.py:60-105)."""
     os.makedirs(save_directory, exist_ok=True)
-    sd = export_torch_state_dict(params, scan_layers=scan_layers)
+    sd = export_torch_state_dict(params, scan_layers=scan_layers, batch_stats=batch_stats)
     try:
         from safetensors.numpy import save_file
 

@@ -60,6 +60,13 @@ def get_latest_checkpoint(path: str):
 def main(args=None):
     args = parse_args(args)
 
+    # Honor the caller's JAX_PLATFORMS (same re-assert as bench.py): TPU
+    # plugins may register themselves via jax.config ahead of the env var,
+    # so `JAX_PLATFORMS=cpu python -m ...train.main` would otherwise
+    # silently grab the TPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     rank, world_size = init_distributed()
     args.rank = rank
     args.world_size = world_size
