@@ -265,12 +265,32 @@ def timm_vit_to_vision_params(
         raise ValueError("not a timm ViT state dict: no blocks.N.* keys")
 
     def block_params(layer):
+        if "mlp.w1.weight" in layer or "mlp.w12.weight" in layer:
+            raise NotImplementedError(
+                "EVA02-style block (SwiGLU mlp.w1/w2, sub-LN, rotary pos "
+                "embed) has no TPU-native mapping — porting needs a SwiGLU "
+                "MLP + rope in models/transformer.py; only the EVA01 giant "
+                "(plain pre-LN ViT) layout maps onto the native tower"
+            )
+        if "attn.qkv.bias" in layer:
+            qkv_bias = layer["attn.qkv.bias"]
+        elif "attn.q_bias" in layer:
+            # EVA/BEiT quirk: separate q/v biases, k bias fixed at zero
+            # (timm eva.py EvaAttention with qkv_fused=True).
+            qkv_bias = np.concatenate([
+                layer["attn.q_bias"],
+                np.zeros_like(layer["attn.q_bias"]),
+                layer["attn.v_bias"],
+            ])
+        else:
+            qkv_bias = np.zeros(layer["attn.qkv.weight"].shape[0],
+                                layer["attn.qkv.weight"].dtype)
         return {
             "ln_1": {"scale": layer["norm1.weight"], "bias": layer["norm1.bias"]},
             "attn": {
                 "in_proj": {
                     "kernel": layer["attn.qkv.weight"].T,
-                    "bias": layer["attn.qkv.bias"],
+                    "bias": qkv_bias,
                 },
                 "out_proj": {
                     "kernel": layer["attn.proj.weight"].T,
@@ -444,11 +464,31 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
                 "VisionTransformer projection is bias-free"
             )
         if any(k.startswith("visual.head.mlp.") for k in sd):
-            raise NotImplementedError(
-                "timm-trunk checkpoint uses an MLP head (proj='mlp', "
-                "reference timm_model.py:106-107); only the linear head "
-                "maps onto the native projection"
-            )
+            if "stem.0.weight" in trunk:
+                # ConvNeXt mlp head (convnext_large_d: fc1 w/ bias -> GELU
+                # -> bias-free fc2; reference timm_model.py:106-107).
+                params["visual"]["mlp_fc1"] = {
+                    "kernel": np.asarray(sd["visual.head.mlp.fc1.weight"]).T,
+                    "bias": np.asarray(sd["visual.head.mlp.fc1.bias"]),
+                }
+                params["visual"]["mlp_fc2"] = {
+                    "kernel": np.asarray(sd["visual.head.mlp.fc2.weight"]).T,
+                }
+                if "visual.head.mlp.fc2.bias" in sd:
+                    raise NotImplementedError(
+                        "convnext mlp head with fc2 bias (proj_bias=True) "
+                        "is not supported (released heads are bias-free)"
+                    )
+                import jax
+                import jax.numpy as jnp
+
+                params["visual"] = jax.tree.map(jnp.asarray, params["visual"])
+            else:
+                raise NotImplementedError(
+                    "timm-trunk ViT checkpoint uses an MLP head (proj='mlp', "
+                    "reference timm_model.py:106-107); only the linear head "
+                    "maps onto the native ViT projection"
+                )
         if "visual.head.proj.weight" in sd:
             import jax.numpy as jnp
 

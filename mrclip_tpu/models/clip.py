@@ -43,6 +43,36 @@ def _select_act(quick_gelu_act):
     return gelu_exact
 
 
+def _resolve_act_norm(act_sel, act_kwargs, norm_kwargs, what):
+    """Config-level act/norm kwargs (reference model.py:144-147, 195-198:
+    `partial(act_layer, **act_kwargs)` / `partial(norm_layer, **norm_kwargs)`)
+    — CLIPA configs carry GELU approximate='tanh' + LN eps 1e-6 (they were
+    trained in JAX, whose defaults those are). The quick-gelu force flag and
+    the tanh throughput mode override act_kwargs; unknown keys raise rather
+    than silently changing numerics. Returns (act, ln_eps)."""
+    act = _select_act(act_sel)
+    if act_kwargs and not (act_sel is True or act_sel in ("quick", "tanh")):
+        unknown = set(act_kwargs) - {"approximate"}
+        if unknown:
+            raise NotImplementedError(
+                f"unsupported {what} act_kwargs keys: {sorted(unknown)}"
+            )
+        approx = act_kwargs.get("approximate", "none")
+        if approx == "tanh":
+            act = gelu_tanh
+        elif approx not in ("none", None):
+            raise NotImplementedError(f"unsupported GELU approximate={approx!r}")
+    ln_eps = 1e-5
+    if norm_kwargs:
+        unknown = set(norm_kwargs) - {"eps"}
+        if unknown:
+            raise NotImplementedError(
+                f"unsupported {what} norm_kwargs keys: {sorted(unknown)}"
+            )
+        ln_eps = float(norm_kwargs["eps"])
+    return act, ln_eps
+
+
 @dataclass
 class CLIPVisionCfg:
     """Vision tower config (reference model.py:26-54)."""
@@ -152,18 +182,19 @@ def _build_timm_vit_tower(
                 f"timm convnext variant '{tname}' has no TPU-native stage "
                 f"table; supported: {sorted(CONVNEXT_DIMS)}"
             )
-        # The native tower implements exactly avg-pool + bias-free linear
-        # proj (the shipped convnext_base_w checkpoints); reject other
-        # head configurations loudly like the ViT path does.
+        # The native tower implements avg-pool + bias-free linear proj
+        # (convnext_base_w checkpoints) or the timm Mlp head (proj='mlp',
+        # convnext_large_d); reject other head configurations loudly like
+        # the ViT path does.
         if vision_cfg.timm_pool not in ("avg", ""):
             raise NotImplementedError(
                 f"timm_pool='{vision_cfg.timm_pool}' unsupported for the "
                 "native ConvNeXt (avg pooling only)"
             )
-        if vision_cfg.timm_proj not in ("linear", "none"):
+        if vision_cfg.timm_proj not in ("linear", "mlp", "none"):
             raise NotImplementedError(
                 f"timm_proj='{vision_cfg.timm_proj}' unsupported for the "
-                "native ConvNeXt (bias-free linear only)"
+                "native ConvNeXt (linear | mlp | none)"
             )
         if vision_cfg.timm_proj_bias:
             raise NotImplementedError(
@@ -174,7 +205,52 @@ def _build_timm_vit_tower(
         return ConvNeXt(
             depths=depths, dims=dims,
             output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
+            proj_type="mlp" if vision_cfg.timm_proj == "mlp" else "linear",
             act=act, remat=remat, dtype=dtype, name=name,
+        )
+    m_eva = _re.match(r"eva_giant_patch14(?:_clip)?_(224|336)$", tname)
+    if m_eva:
+        # EVA01 giant (reference EVA01-g-14 tags): a plain pre-LN ViT —
+        # width 1408, 40 layers, 16 heads (head dim 88), MLP hidden 6144 —
+        # with token pooling and norm-before-pool; the only EVA quirk is
+        # the split q/v bias, handled in convert.timm_vit_to_vision_params.
+        if vision_cfg.timm_pool not in ("token", "tok", ""):
+            raise NotImplementedError(
+                f"timm_pool='{vision_cfg.timm_pool}' unsupported for EVA "
+                "giant (token pooling only)"
+            )
+        return VisionTransformer(
+            image_size=vision_cfg.image_size or int(m_eva.group(1)),
+            patch_size=14,
+            width=1408,
+            layers=40,
+            heads=16,
+            mlp_ratio=6144 / 1408,
+            output_dim=None if vision_cfg.timm_proj in ("none",) else embed_dim,
+            patch_bias=True,
+            no_ln_pre=True,
+            pool_type="tok",
+            act=act,
+            attn_impl=attn_impl,
+            scan_layers=scan_layers,
+            remat=remat,
+            remat_policy=remat_policy,
+            dtype=dtype,
+            name=name,
+        )
+    if tname.startswith("eva02_"):
+        raise NotImplementedError(
+            f"timm model '{tname}' (EVA02) has no TPU-native mapping: EVA02 "
+            "blocks use rotary position embeddings, SwiGLU MLPs, and sub-LN "
+            "— porting needs those in models/transformer.py. EVA01 giant "
+            "(eva_giant_patch14_*) is supported."
+        )
+    if tname.startswith("vitamin_"):
+        raise NotImplementedError(
+            f"timm model '{tname}' (ViTamin) has no TPU-native mapping: "
+            "ViTamin towers are conv-stem + MBConv-stage + ViT hybrids; "
+            "porting needs a native MBConv stage module. Use a plain "
+            "ViT/ConvNeXt config instead."
         )
     m = _re.match(
         r"vit_(tiny|small|base|large|huge|so400m)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$",
@@ -184,7 +260,8 @@ def _build_timm_vit_tower(
         raise NotImplementedError(
             f"timm model '{tname}' has no TPU-native mapping; supported: the "
             "vit_{tiny,small,base,large,huge,so400m}_patch{P}[_clip|_siglip]_{RES} "
-            "family and convnext_{tiny,small,base,large,xlarge} "
+            "family, convnext_{tiny,small,base,large,xlarge}, and "
+            "eva_giant_patch14_{224,336} "
             "(reference timm_model.py:29-153). Use a native ViT/RN config for "
             "other architectures."
         )
@@ -263,7 +340,9 @@ def build_vision_tower(
 ) -> nn.Module:
     """Select + build the vision tower (reference model.py:105-171)."""
     vision_cfg = _filter_cfg(CLIPVisionCfg, vision_cfg)
-    act = _select_act(quick_gelu_act)
+    act, ln_eps = _resolve_act_norm(
+        quick_gelu_act, vision_cfg.act_kwargs, vision_cfg.norm_kwargs, "vision"
+    )
 
     if vision_cfg.timm_model_name:
         return _build_timm_vit_tower(embed_dim, vision_cfg, dtype, scan_layers,
@@ -299,6 +378,7 @@ def build_vision_tower(
         pool_type=vision_cfg.pool_type,
         final_ln_after_pool=vision_cfg.final_ln_after_pool,
         act=act,
+        ln_eps=ln_eps,
         output_tokens=vision_cfg.output_tokens,
         attn_impl=attn_impl,
         scan_layers=scan_layers,
@@ -337,7 +417,9 @@ def build_text_tower(
             dtype=dtype,
             name=name,
         )
-    act = _select_act(quick_gelu_act)
+    act, ln_eps = _resolve_act_norm(
+        quick_gelu_act, text_cfg.act_kwargs, text_cfg.norm_kwargs, "text"
+    )
     return TextTransformer(
         context_length=text_cfg.context_length,
         vocab_size=text_cfg.vocab_size,
@@ -354,6 +436,7 @@ def build_text_tower(
         proj_bias=text_cfg.proj_bias,
         dropout=text_cfg.dropout,
         act=act,
+        ln_eps=ln_eps,
         output_tokens=text_cfg.output_tokens,
         attn_impl=attn_impl,
         scan_layers=scan_layers,

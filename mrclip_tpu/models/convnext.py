@@ -75,6 +75,10 @@ class ConvNeXt(nn.Module):
     depths: Sequence[int] = (3, 3, 27, 3)
     dims: Sequence[int] = (128, 256, 512, 1024)
     output_dim: Optional[int] = 640
+    # 'linear': bias-free proj (convnext_base_w checkpoints); 'mlp': timm
+    # Mlp(prev, 2*embed, embed, bias=(True, False)) with erf GELU — the
+    # open_clip convnext_large_d head (reference timm_model.py:106-107).
+    proj_type: str = "linear"
     ls_init_value: float = 1e-6
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     remat: bool = False  # per-block jax.checkpoint: b128@256px OOMs without
@@ -106,10 +110,17 @@ class ConvNeXt(nn.Module):
         x = jnp.mean(x, axis=(1, 2))  # global average pool (timm 'avg')
         x = LayerNorm(name="head_norm")(x)
         if self.output_dim is not None:
-            proj = self.param(
-                "proj",
-                nn.initializers.normal(stddev=self.dims[-1] ** -0.5),
-                (self.dims[-1], self.output_dim),
-            )
-            x = x @ proj.astype(x.dtype)
+            if self.proj_type == "mlp":
+                x = nn.Dense(2 * self.output_dim, dtype=self.dtype, name="mlp_fc1")(x)
+                x = gelu_exact(x)  # timm Mlp default act, independent of block act
+                x = nn.Dense(
+                    self.output_dim, use_bias=False, dtype=self.dtype, name="mlp_fc2"
+                )(x)
+            else:
+                proj = self.param(
+                    "proj",
+                    nn.initializers.normal(stddev=self.dims[-1] ** -0.5),
+                    (self.dims[-1], self.output_dim),
+                )
+                x = x @ proj.astype(x.dtype)
         return x

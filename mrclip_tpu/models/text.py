@@ -38,6 +38,7 @@ class TextTransformer(nn.Module):
     proj_bias: bool = False
     dropout: float = 0.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
+    ln_eps: float = 1e-5  # CLIPA/big_vision-trained configs use 1e-6
     output_tokens: bool = False
     attn_impl: str = "xla"
     scan_layers: bool = True
@@ -103,6 +104,7 @@ class TextTransformer(nn.Module):
             scan_layers=self.scan_layers,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            ln_eps=self.ln_eps,
             dtype=self.dtype,
             name="transformer",
         )(x, mask=mask, deterministic=deterministic)
@@ -110,9 +112,9 @@ class TextTransformer(nn.Module):
         if self.embed_cls:
             # CLS sits at the end; pool it, tokens are the rest.
             pooled, tokens_out = x[:, -1], x[:, :-1]
-            pooled = LayerNorm(name="ln_final")(pooled)
+            pooled = LayerNorm(epsilon=self.ln_eps, name="ln_final")(pooled)
         else:
-            x = LayerNorm(name="ln_final")(x)
+            x = LayerNorm(epsilon=self.ln_eps, name="ln_final")(x)
             pooled, tokens_out = text_global_pool(x, tokens, pool_type=self.pool_type)
 
         if self.output_dim is not None:

@@ -50,6 +50,7 @@ class ResidualAttentionBlock(nn.Module):
     is_causal: bool = False
     dropout: float = 0.0  # --textdropout injection (reference main.py:47-59)
     attn_impl: str = "xla"
+    ln_eps: float = 1e-5  # torch default; CLIPA/big_vision configs use 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -79,8 +80,8 @@ class ResidualAttentionBlock(nn.Module):
             # causal-leak-free decoder comes from interleaving this with
             # separate causal self-attn blocks.
             assert kv is not None, "cross_attn block requires kv"
-            y = LayerNorm(name="ln_1")(x)
-            kv_n = LayerNorm(name="ln_1_kv")(kv)
+            y = LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
+            kv_n = LayerNorm(epsilon=self.ln_eps, name="ln_1_kv")(kv)
             y = MultiHeadAttention(
                 num_heads=self.num_heads, attn_impl=self.attn_impl,
                 dtype=self.dtype, name="attn",
@@ -88,7 +89,7 @@ class ResidualAttentionBlock(nn.Module):
             y = checkpoint_name(y, "attn_out")
             x = x + maybe_ls("ls_1")(drop(y))
         else:
-            y = LayerNorm(name="ln_1")(x)
+            y = LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
             y = MultiHeadAttention(
                 num_heads=self.num_heads,
                 scaled_cosine=self.scaled_cosine,
@@ -101,7 +102,7 @@ class ResidualAttentionBlock(nn.Module):
             y = checkpoint_name(y, "attn_out")
             x = x + maybe_ls("ls_1")(drop(y))
 
-        y = LayerNorm(name="ln_2")(x)
+        y = LayerNorm(epsilon=self.ln_eps, name="ln_2")(x)
         y = MLP(width=width, hidden=int(width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(y)
         x = x + maybe_ls("ls_2")(drop(y))
         return x
@@ -162,6 +163,7 @@ class Transformer(nn.Module):
     is_causal: bool = False
     dropout: float = 0.0
     attn_impl: str = "xla"
+    ln_eps: float = 1e-5
     scan_layers: bool = True
     remat: bool = False
     remat_policy: str = "dots"
@@ -187,6 +189,7 @@ class Transformer(nn.Module):
             is_causal=self.is_causal,
             dropout=self.dropout,
             attn_impl=self.attn_impl,
+            ln_eps=self.ln_eps,
             dtype=self.dtype,
         )
 

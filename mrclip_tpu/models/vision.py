@@ -77,6 +77,7 @@ class VisionTransformer(nn.Module):
     use_cls_token: bool = True  # SigLIP ViTs carry no CLS token
     final_ln_after_pool: bool = False
     act: Callable[[jax.Array], jax.Array] = gelu_exact
+    ln_eps: float = 1e-5  # CLIPA/big_vision-trained configs use 1e-6
     output_tokens: bool = False
     patch_bias: bool = False
     attn_impl: str = "xla"
@@ -150,7 +151,7 @@ class VisionTransformer(nn.Module):
             )
 
         if not self.no_ln_pre:
-            x = LayerNorm(name="ln_pre")(x)
+            x = LayerNorm(epsilon=self.ln_eps, name="ln_pre")(x)
 
         x = Transformer(
             width=self.width,
@@ -163,6 +164,7 @@ class VisionTransformer(nn.Module):
             scan_layers=self.scan_layers,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            ln_eps=self.ln_eps,
             dtype=self.dtype,
             name="transformer",
         )(x)
@@ -178,7 +180,7 @@ class VisionTransformer(nn.Module):
         if self.pool_type == "map":
             # SigLIP/big_vision ordering: blocks -> final norm -> MAP head
             # (timm VisionTransformer with global_pool='map').
-            x = LayerNorm(name="ln_post")(x)
+            x = LayerNorm(epsilon=self.ln_eps, name="ln_post")(x)
             pooled, tokens = MAPHead(
                 width=self.width, num_heads=self.heads,
                 mlp_ratio=self.mlp_ratio, act=self.act, dtype=self.dtype,
@@ -196,13 +198,13 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 name="attn_pool",
             )(x)
-            x = LayerNorm(name="ln_post")(x)
+            x = LayerNorm(epsilon=self.ln_eps, name="ln_post")(x)
             pooled, tokens = x[:, 0], x[:, 1:]
         elif self.final_ln_after_pool:
             pooled, tokens = global_pool(x)
-            pooled = LayerNorm(name="ln_post")(pooled)
+            pooled = LayerNorm(epsilon=self.ln_eps, name="ln_post")(pooled)
         else:
-            x = LayerNorm(name="ln_post")(x)
+            x = LayerNorm(epsilon=self.ln_eps, name="ln_post")(x)
             pooled, tokens = global_pool(x)
 
         if self.output_dim is not None:

@@ -61,6 +61,13 @@ def _slpcfg(**kwargs) -> dict:  # SigLIP/webli preprocessing (reference :34-38)
     )
 
 
+def _clipacfg(**kwargs) -> dict:  # CLIPA preprocessing (reference _apcfg :66-77)
+    return _pcfg(
+        mean=IMAGENET_MEAN, std=IMAGENET_STD,
+        interpolation="bilinear", resize_mode="squash", **kwargs
+    )
+
+
 _OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models"
 
 _GH = "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights"
@@ -336,11 +343,66 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         "webli": _slpcfg(hf_hub="timm/ViT-SO400M-14-SigLIP-384/")
     },
     # nllb-clip (reference pretrained.py nllb entries): NLLB/M2M100 text
-    # tower hosted by the native Flax encoder port (models/m2m100.py).
-    # The -siglip variants pair a SigLIP vision trunk whose exact released
-    # architecture cannot be verified offline; not registered.
+    # tower hosted by the native Flax encoder port (models/m2m100.py). The
+    # -siglip variants pair the SigLIP vision trunks (base->B/16-384,
+    # large->SO400M/14-384) with the same text towers.
     "nllb-clip-base": {"v1": _pcfg(hf_hub="visheratin/nllb-clip-base-oc/")},
     "nllb-clip-large": {"v1": _pcfg(hf_hub="visheratin/nllb-clip-large-oc/")},
+    "nllb-clip-base-siglip": {
+        "v1": _slpcfg(hf_hub="visheratin/nllb-clip-base-siglip/"),
+        "mrl": _slpcfg(hf_hub="visheratin/nllb-siglip-mrl-base/"),
+    },
+    "nllb-clip-large-siglip": {
+        "v1": _slpcfg(hf_hub="visheratin/nllb-clip-large-siglip/"),
+        "mrl": _slpcfg(hf_hub="visheratin/nllb-siglip-mrl-large/"),
+    },
+    # convnext_large_d: ConvNeXt-Large trunk + timm Mlp head + 16-layer text
+    "convnext_large_d": {
+        "laion2b_s26b_b102k_augreg": _pcfg(
+            hf_hub="laion/CLIP-convnext_large_d.laion2B-s26B-b102K-augreg/"
+        ),
+    },
+    "convnext_large_d_320": {
+        "laion2b_s29b_b131k_ft": _pcfg(
+            hf_hub="laion/CLIP-convnext_large_d_320.laion2B-s29B-b131K-ft/"
+        ),
+        "laion2b_s29b_b131k_ft_soup": _pcfg(
+            hf_hub="laion/CLIP-convnext_large_d_320.laion2B-s29B-b131K-ft-soup/"
+        ),
+    },
+    # CLIPA-v2 (reference pretrained.py:509-527): plain native towers with
+    # JAX-era defaults (tanh GELU, LN eps 1e-6), BERT wordpiece text.
+    "ViT-L-14-CLIPA": {
+        "datacomp1b": _clipacfg(hf_hub="UCSC-VLAA/ViT-L-14-CLIPA-datacomp1B/"),
+    },
+    "ViT-L-14-CLIPA-336": {
+        "datacomp1b": _clipacfg(hf_hub="UCSC-VLAA/ViT-L-14-CLIPA-336-datacomp1B/"),
+    },
+    "ViT-H-14-CLIPA": {
+        "datacomp1b": _clipacfg(hf_hub="UCSC-VLAA/ViT-H-14-CLIPA-datacomp1B/"),
+    },
+    "ViT-H-14-CLIPA-336": {
+        "laion2b": _clipacfg(hf_hub="UCSC-VLAA/ViT-H-14-CLIPA-336-laion2B/"),
+        "datacomp1b": _clipacfg(hf_hub="UCSC-VLAA/ViT-H-14-CLIPA-336-datacomp1B/"),
+    },
+    "ViT-bigG-14-CLIPA": {
+        "datacomp1b": _clipacfg(hf_hub="UCSC-VLAA/ViT-bigG-14-CLIPA-datacomp1B/"),
+    },
+    "ViT-bigG-14-CLIPA-336": {
+        "datacomp1b": _clipacfg(hf_hub="UCSC-VLAA/ViT-bigG-14-CLIPA-336-datacomp1B/"),
+    },
+    # EVA01 giant (reference pretrained.py:446-453): timm eva_giant trunk —
+    # a plain pre-LN ViT (the q/v-bias quirk handled in convert).
+    "EVA01-g-14": {
+        "laion400m_s11b_b41k": _pcfg(
+            hf_hub="timm/eva_giant_patch14_clip_224.laion400m_s11b_b41k/"
+        ),
+    },
+    "EVA01-g-14-plus": {
+        "merged2b_s11b_b114k": _pcfg(
+            hf_hub="timm/eva_giant_patch14_plus_clip_224.merged2b_s11b_b114k/"
+        ),
+    },
     "coca_ViT-B-32": {
         "laion2b_s13b_b90k": _apcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
         "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(

@@ -1,0 +1,181 @@
+"""Round-3 registry additions: CLIPA act/norm kwargs, EVA01-giant import
+quirk, convnext_large_d MLP head, nllb-siglip pairing.
+
+References: act/norm kwargs `src/open_clip/model.py:144-147,195-198`; CLIPA
+tags `pretrained.py:509-527`; EVA01 tags `pretrained.py:446-453`; MLP head
+`timm_model.py:106-107`.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrclip_tpu.factory import create_model, get_model_config
+from mrclip_tpu.models.clip import _resolve_act_norm
+from mrclip_tpu.models.layers import gelu_exact, gelu_tanh, quick_gelu
+
+
+def test_resolve_act_norm():
+    act, eps = _resolve_act_norm(False, None, None, "vision")
+    assert act is gelu_exact and eps == 1e-5
+    act, eps = _resolve_act_norm(
+        False, {"approximate": "tanh"}, {"eps": 1e-6}, "vision"
+    )
+    assert act is gelu_tanh and eps == 1e-6
+    # quick-gelu force flag overrides config act_kwargs (reference
+    # factory.py force_quick_gelu path)
+    act, _ = _resolve_act_norm(True, {"approximate": "tanh"}, None, "vision")
+    assert act is quick_gelu
+    with pytest.raises(NotImplementedError):
+        _resolve_act_norm(False, {"approximate": "sigmoid"}, None, "t")
+    with pytest.raises(NotImplementedError):
+        _resolve_act_norm(False, None, {"elementwise_affine": False}, "t")
+
+
+def test_clipa_config_changes_numerics():
+    """A CLIPA-style mini config (tanh GELU + eps 1e-6) must produce
+    different numerics from the same config without the kwargs — proving
+    the fields are plumbed, not silently dropped."""
+    from mrclip_tpu.factory import _MODEL_CONFIGS
+
+    base = {
+        "embed_dim": 16,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32,
+                       "head_width": 16, "patch_size": 16, "no_ln_pre": True,
+                       "pool_type": "avg", "final_ln_after_pool": True},
+        "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 32,
+                     "heads": 2, "layers": 2, "pool_type": "last",
+                     "no_causal_mask": True},
+    }
+    import copy
+
+    clipa = copy.deepcopy(base)
+    for tower in ("vision_cfg", "text_cfg"):
+        clipa[tower]["act_kwargs"] = {"approximate": "tanh"}
+        clipa[tower]["norm_kwargs"] = {"eps": 1e-6}
+    _MODEL_CONFIGS["clipa-mini"] = clipa
+    _MODEL_CONFIGS["clipa-mini-plain"] = base
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    toks = jnp.asarray(rng.randint(1, 63, (2, 12)), jnp.int32)
+
+    model_a, var_a = create_model("clipa-mini", rng_seed=0)
+    model_b, _ = create_model("clipa-mini-plain", rng_seed=0)
+    out_a = model_a.apply(var_a, imgs, toks)
+    out_b = model_b.apply(var_a, imgs, toks)  # same params, different cfg
+    diff = float(jnp.abs(out_a["image_features"] - out_b["image_features"]).max())
+    assert diff > 0.0, "act/norm kwargs were silently ignored"
+
+
+def test_eva_qv_bias_conversion():
+    """EVA/BEiT split q/v bias (k bias zero) -> fused in_proj bias."""
+    from mrclip_tpu.convert import timm_vit_to_vision_params
+
+    rng = np.random.RandomState(1)
+    r = lambda *s: rng.randn(*s).astype(np.float32) * 0.1
+    W, P = 16, 8
+    sd = {
+        "patch_embed.proj.weight": r(W, 3, P, P),
+        "patch_embed.proj.bias": r(W),
+        "cls_token": r(1, 1, W),
+        "pos_embed": r(1, 5, W),
+        "norm.weight": 1 + r(W),
+        "norm.bias": r(W),
+    }
+    for i in range(2):
+        p = f"blocks.{i}."
+        sd.update({
+            p + "norm1.weight": 1 + r(W), p + "norm1.bias": r(W),
+            p + "norm2.weight": 1 + r(W), p + "norm2.bias": r(W),
+            p + "attn.qkv.weight": r(3 * W, W),
+            p + "attn.q_bias": r(W), p + "attn.v_bias": r(W),
+            p + "attn.proj.weight": r(W, W), p + "attn.proj.bias": r(W),
+            p + "mlp.fc1.weight": r(4 * W, W), p + "mlp.fc1.bias": r(4 * W),
+            p + "mlp.fc2.weight": r(W, 4 * W), p + "mlp.fc2.bias": r(W),
+        })
+    vis = timm_vit_to_vision_params(sd, scan_layers=False)
+    got = np.asarray(vis["transformer"]["blocks_0"]["attn"]["in_proj"]["bias"])
+    want = np.concatenate([
+        sd["blocks.0.attn.q_bias"], np.zeros(W, np.float32), sd["blocks.0.attn.v_bias"]
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_eva02_block_rejected():
+    from mrclip_tpu.convert import timm_vit_to_vision_params
+
+    sd = {
+        "patch_embed.proj.weight": np.zeros((8, 3, 4, 4), np.float32),
+        "patch_embed.proj.bias": np.zeros(8, np.float32),
+        "pos_embed": np.zeros((1, 5, 8), np.float32),
+        "norm.weight": np.ones(8, np.float32),
+        "norm.bias": np.zeros(8, np.float32),
+        "blocks.0.mlp.w1.weight": np.zeros((8, 8), np.float32),
+    }
+    with pytest.raises(NotImplementedError, match="EVA02"):
+        timm_vit_to_vision_params(sd, scan_layers=False)
+
+
+def test_eva02_and_vitamin_tower_rejected():
+    from mrclip_tpu.models.clip import CLIPVisionCfg, build_vision_tower
+
+    for tname, match in (("eva02_large_patch14_clip_224", "EVA02"),
+                         ("vitamin_large_256", "ViTamin")):
+        with pytest.raises(NotImplementedError, match=match):
+            build_vision_tower(768, CLIPVisionCfg(timm_model_name=tname))
+
+
+def test_convnext_mlp_head_import_and_forward():
+    """convnext_large_d-style checkpoint (trunk + head.mlp) imports and the
+    MLP head matches torch fc1->GELU->fc2(no bias) semantics."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from mrclip_tpu.convert import convert_state_dict
+    from mrclip_tpu.models.convnext import ConvNeXt
+    from tests.test_convnext import DEPTHS, DIMS, RES, _tiny_convnext_sd, _torch_convnext_forward
+
+    embed = 6
+    sd_trunk = _tiny_convnext_sd(seed=7)
+    rng = np.random.RandomState(8)
+    sd = {f"visual.trunk.{k}": v for k, v in sd_trunk.items()}
+    sd["visual.head.mlp.fc1.weight"] = rng.randn(2 * embed, DIMS[-1]).astype(np.float32) * 0.1
+    sd["visual.head.mlp.fc1.bias"] = rng.randn(2 * embed).astype(np.float32) * 0.1
+    sd["visual.head.mlp.fc2.weight"] = rng.randn(embed, 2 * embed).astype(np.float32) * 0.1
+    sd["logit_scale"] = np.asarray(2.659, np.float32)
+
+    params = convert_state_dict(sd, scan_layers=False)
+    assert "mlp_fc1" in params["visual"] and "mlp_fc2" in params["visual"]
+
+    images = np.random.RandomState(9).rand(2, RES, RES, 3).astype(np.float32)
+    with torch.no_grad():
+        feats = _torch_convnext_forward(sd_trunk, images)
+        h = F.linear(torch.tensor(feats), torch.tensor(sd["visual.head.mlp.fc1.weight"]),
+                     torch.tensor(sd["visual.head.mlp.fc1.bias"]))
+        want = F.linear(F.gelu(h), torch.tensor(sd["visual.head.mlp.fc2.weight"])).numpy()
+
+    tower = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=embed, proj_type="mlp")
+    got = tower.apply({"params": params["visual"]}, jnp.asarray(images))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_new_tags_registered():
+    from mrclip_tpu.pretrained import get_pretrained_cfg
+
+    for model, tag in (
+        ("ViT-L-14-CLIPA", "datacomp1b"),
+        ("ViT-H-14-CLIPA-336", "laion2b"),
+        ("EVA01-g-14", "laion400m_s11b_b41k"),
+        ("convnext_large_d", "laion2b_s26b_b102k_augreg"),
+        ("nllb-clip-base-siglip", "v1"),
+        ("nllb-clip-large-siglip", "mrl"),
+    ):
+        cfg = get_pretrained_cfg(model, tag)
+        assert cfg and (cfg.get("hf_hub") or cfg.get("url")), (model, tag)
+        assert get_model_config(model) is not None, model
+    # CLIPA preprocessing: IMAGENET mean, bilinear squash (reference _apcfg)
+    cfg = get_pretrained_cfg("ViT-L-14-CLIPA", "datacomp1b")
+    assert cfg["resize_mode"] == "squash" and cfg["interpolation"] == "bilinear"
