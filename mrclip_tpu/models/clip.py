@@ -206,6 +206,7 @@ def _build_timm_vit_tower(
             depths=depths, dims=dims,
             output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
             proj_type="mlp" if vision_cfg.timm_proj == "mlp" else "linear",
+            drop_path=vision_cfg.timm_drop_path or 0.0,
             act=act, remat=remat, dtype=dtype, name=name,
         )
     m_eva = _re.match(r"eva_giant_patch14(?:_clip)?_(224|336)$", tname)
@@ -230,6 +231,7 @@ def _build_timm_vit_tower(
             patch_bias=True,
             no_ln_pre=True,
             pool_type="tok",
+            drop_path=vision_cfg.timm_drop_path or 0.0,
             act=act,
             attn_impl=attn_impl,
             scan_layers=scan_layers,
@@ -299,6 +301,7 @@ def _build_timm_vit_tower(
             use_cls_token=False,
             no_ln_pre=True,
             pool_type=pool,
+            drop_path=vision_cfg.timm_drop_path or 0.0,
             act=act,
             attn_impl=attn_impl,
             scan_layers=scan_layers,
@@ -317,6 +320,7 @@ def _build_timm_vit_tower(
         patch_bias=True,
         no_ln_pre="_clip" not in variant,  # timm CLIP variants carry norm_pre
         pool_type="avg" if vision_cfg.timm_pool == "avg" else "tok",
+        drop_path=vision_cfg.timm_drop_path or 0.0,
         act=act,
         attn_impl=attn_impl,
         scan_layers=scan_layers,

@@ -38,15 +38,24 @@ CONVNEXT_DIMS = {
 
 
 class ConvNeXtBlock(nn.Module):
-    """7x7 depthwise -> LN -> fc1(4x) -> GELU -> fc2 -> gamma -> residual."""
+    """7x7 depthwise -> LN -> fc1(4x) -> GELU -> fc2 -> gamma -> residual.
+
+    `drop_path` is timm stochastic depth: in train mode the whole residual
+    branch is dropped per-sample with prob p and scaled 1/(1-p) otherwise
+    (reference TimmModel passes `timm_drop_path` into timm create_model).
+    """
 
     dim: int
     ls_init_value: float = 1e-6
+    drop_path: float = 0.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        # `deterministic` is positional so nn.remat can pin it static
+        # (static_argnums below); a keyword bool would be traced and break
+        # the `if not deterministic` python branch.
         shortcut = x
         x = nn.Conv(
             features=self.dim,
@@ -66,7 +75,14 @@ class ConvNeXtBlock(nn.Module):
             (self.dim,),
             jnp.float32,
         )
-        return shortcut + x * gamma.astype(x.dtype)
+        branch = x * gamma.astype(x.dtype)
+        if self.drop_path > 0.0 and not deterministic:
+            keep = 1.0 - self.drop_path
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (branch.shape[0], 1, 1, 1)
+            )
+            branch = jnp.where(mask, branch / keep, jnp.zeros_like(branch))
+        return shortcut + branch
 
 
 class ConvNeXt(nn.Module):
@@ -80,6 +96,8 @@ class ConvNeXt(nn.Module):
     # open_clip convnext_large_d head (reference timm_model.py:106-107).
     proj_type: str = "linear"
     ls_init_value: float = 1e-6
+    # timm stochastic depth: per-block rates linspace(0, drop_path, n_blocks)
+    drop_path: float = 0.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     remat: bool = False  # per-block jax.checkpoint: b128@256px OOMs without
     dtype: Dtype = jnp.float32
@@ -87,8 +105,15 @@ class ConvNeXt(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         block_cls = (
-            nn.remat(ConvNeXtBlock, prevent_cse=False) if self.remat else ConvNeXtBlock
+            nn.remat(ConvNeXtBlock, prevent_cse=False, static_argnums=(2,))
+            if self.remat
+            else ConvNeXtBlock
         )
+        n_blocks = sum(self.depths)
+        dp_rates = [
+            self.drop_path * i / max(n_blocks - 1, 1) for i in range(n_blocks)
+        ]
+        block_idx = 0
         x = x.astype(self.dtype)
         x = nn.Conv(
             features=self.dims[0], kernel_size=(4, 4), strides=4,
@@ -104,9 +129,11 @@ class ConvNeXt(nn.Module):
                 )(x)
             for b in range(depth):
                 x = block_cls(
-                    dim=dim, ls_init_value=self.ls_init_value, act=self.act,
+                    dim=dim, ls_init_value=self.ls_init_value,
+                    drop_path=dp_rates[block_idx], act=self.act,
                     dtype=self.dtype, name=f"stages_{s}_blocks_{b}",
-                )(x)
+                )(x, deterministic)
+                block_idx += 1
         x = jnp.mean(x, axis=(1, 2))  # global average pool (timm 'avg')
         x = LayerNorm(name="head_norm")(x)
         if self.output_dim is not None:

@@ -49,6 +49,9 @@ class ResidualAttentionBlock(nn.Module):
     cross_attn: bool = False
     is_causal: bool = False
     dropout: float = 0.0  # --textdropout injection (reference main.py:47-59)
+    # timm stochastic depth: drop the whole residual branch per-sample in
+    # train mode (reference TimmModel threads timm_drop_path into timm).
+    drop_path: float = 0.0
     attn_impl: str = "xla"
     ln_eps: float = 1e-5  # torch default; CLIPA/big_vision configs use 1e-6
     dtype: Dtype = jnp.float32
@@ -69,6 +72,15 @@ class ResidualAttentionBlock(nn.Module):
                 return t
             return nn.Dropout(rate=self.dropout)(t, deterministic=deterministic)
 
+        def branch_drop(t):
+            if self.drop_path <= 0.0 or deterministic:
+                return t
+            keep = 1.0 - self.drop_path
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (t.shape[0],) + (1,) * (t.ndim - 1)
+            )
+            return jnp.where(mask, t / keep, jnp.zeros_like(t))
+
         def maybe_ls(name):
             if self.ls_init_value is None:
                 return lambda t: t
@@ -87,7 +99,7 @@ class ResidualAttentionBlock(nn.Module):
                 dtype=self.dtype, name="attn",
             )(y, kv=kv_n)
             y = checkpoint_name(y, "attn_out")
-            x = x + maybe_ls("ls_1")(drop(y))
+            x = x + branch_drop(maybe_ls("ls_1")(drop(y)))
         else:
             y = LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
             y = MultiHeadAttention(
@@ -100,11 +112,11 @@ class ResidualAttentionBlock(nn.Module):
             )(y, mask=mask, is_causal=self.is_causal)
             # remat tag: `mlp_only` policy saves this and recomputes the MLP
             y = checkpoint_name(y, "attn_out")
-            x = x + maybe_ls("ls_1")(drop(y))
+            x = x + branch_drop(maybe_ls("ls_1")(drop(y)))
 
         y = LayerNorm(epsilon=self.ln_eps, name="ln_2")(x)
         y = MLP(width=width, hidden=int(width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(y)
-        x = x + maybe_ls("ls_2")(drop(y))
+        x = x + branch_drop(maybe_ls("ls_2")(drop(y)))
         return x
 
 
@@ -162,6 +174,10 @@ class Transformer(nn.Module):
     cross_attn: bool = False
     is_causal: bool = False
     dropout: float = 0.0
+    # Stochastic depth, timm schedule: block i trains at rate
+    # drop_path * i / (layers - 1). Unrolled stacks only (scan shares one
+    # static block, so per-layer rates cannot vary inside it).
+    drop_path: float = 0.0
     attn_impl: str = "xla"
     ln_eps: float = 1e-5
     scan_layers: bool = True
@@ -194,6 +210,12 @@ class Transformer(nn.Module):
         )
 
         if self.scan_layers:
+            if self.drop_path > 0.0 and not deterministic:
+                raise NotImplementedError(
+                    "drop_path (stochastic depth) trains with per-layer "
+                    "rates, which a scanned stack cannot express — build "
+                    "with scan_layers=False to train with drop_path"
+                )
             scanned = nn.scan(
                 _ScanBlock,
                 variable_axes={"params": 0},
@@ -212,7 +234,11 @@ class Transformer(nn.Module):
             if self.remat:
                 cls = _remat_block(cls, self.remat_policy)
             for i in range(self.layers):
-                x = cls(name=f"blocks_{i}", **block_kwargs)(x, kv, mask, deterministic=deterministic)
+                x = cls(
+                    name=f"blocks_{i}",
+                    drop_path=self.drop_path * i / max(self.layers - 1, 1),
+                    **block_kwargs,
+                )(x, kv, mask, deterministic=deterministic)
         return x
 
 

@@ -78,6 +78,7 @@ class VisionTransformer(nn.Module):
     final_ln_after_pool: bool = False
     act: Callable[[jax.Array], jax.Array] = gelu_exact
     ln_eps: float = 1e-5  # CLIPA/big_vision-trained configs use 1e-6
+    drop_path: float = 0.0  # timm stochastic depth (unrolled stacks only)
     output_tokens: bool = False
     patch_bias: bool = False
     attn_impl: str = "xla"
@@ -160,6 +161,7 @@ class VisionTransformer(nn.Module):
             mlp_ratio=self.mlp_ratio,
             ls_init_value=self.ls_init_value,
             act=self.act,
+            drop_path=self.drop_path,
             attn_impl=self.attn_impl,
             scan_layers=self.scan_layers,
             remat=self.remat,
@@ -167,7 +169,7 @@ class VisionTransformer(nn.Module):
             ln_eps=self.ln_eps,
             dtype=self.dtype,
             name="transformer",
-        )(x)
+        )(x, deterministic=deterministic)
 
         def global_pool(t):
             patches = t[:, 1:] if self.use_cls_token else t

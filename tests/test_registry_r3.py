@@ -179,3 +179,89 @@ def test_new_tags_registered():
     # CLIPA preprocessing: IMAGENET mean, bilinear squash (reference _apcfg)
     cfg = get_pretrained_cfg("ViT-L-14-CLIPA", "datacomp1b")
     assert cfg["resize_mode"] == "squash" and cfg["interpolation"] == "bilinear"
+
+
+def test_convnext_drop_path():
+    """Stochastic depth: inert in eval (and under remat), active in train."""
+    from mrclip_tpu.convert import timm_convnext_to_vision_params
+    from mrclip_tpu.models.convnext import ConvNeXt
+    from tests.test_convnext import DEPTHS, DIMS, RES, _tiny_convnext_sd
+
+    params = timm_convnext_to_vision_params(_tiny_convnext_sd(seed=11))
+    images = jnp.asarray(np.random.RandomState(12).rand(2, RES, RES, 3), jnp.float32)
+
+    plain = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=None)
+    dp = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=None, drop_path=0.9)
+    dp_remat = ConvNeXt(depths=DEPTHS, dims=DIMS, output_dim=None, drop_path=0.9, remat=True)
+
+    a = plain.apply({"params": params}, images)
+    b = dp.apply({"params": params}, images)  # eval: no-op
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    c = dp_remat.apply({"params": params}, images)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+    t = dp.apply(
+        {"params": params}, images, deterministic=False,
+        rngs={"dropout": jax.random.key(0)},
+    )
+    assert float(jnp.abs(t - a).max()) > 0.0, "drop_path inert in train mode"
+
+
+def test_vit_drop_path_unrolled_and_scan_guard():
+    from mrclip_tpu.models.vision import VisionTransformer
+
+    kw = dict(image_size=32, patch_size=16, width=32, layers=3, heads=2,
+              output_dim=None, drop_path=0.9)
+    tower = VisionTransformer(scan_layers=False, **kw)
+    rng = np.random.RandomState(13)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    variables = tower.init(jax.random.key(0), images)
+    a = tower.apply(variables, images)
+    t = tower.apply(variables, images, deterministic=False,
+                    rngs={"dropout": jax.random.key(1)})
+    assert float(jnp.abs(t - a).max()) > 0.0
+
+    scanned = VisionTransformer(scan_layers=True, **kw)
+    vs = scanned.init(jax.random.key(0), images)
+    scanned.apply(vs, images)  # eval fine
+    with pytest.raises(NotImplementedError, match="drop_path"):
+        scanned.apply(vs, images, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+
+
+def test_convnext_large_d_trains_with_drop_path():
+    """The registered config (timm_drop_path=0.1) takes a real train step."""
+    from mrclip_tpu.factory import _MODEL_CONFIGS, create_loss, create_model
+    from mrclip_tpu.parallel import (
+        build_train_step, create_optimizer, create_train_state, make_loss_apply,
+    )
+    import copy
+
+    cfg = copy.deepcopy(get_model_config("convnext_large_d"))
+    cfg["vision_cfg"].update({"timm_model_name": "convnext_tiny", "image_size": 32})
+    cfg["text_cfg"].update({"width": 32, "heads": 2, "layers": 2,
+                            "vocab_size": 64, "context_length": 8})
+    cfg["embed_dim"] = 16
+    _MODEL_CONFIGS["convnext-d-mini"] = cfg
+    model, variables = create_model("convnext-d-mini")
+
+    class Args:
+        multipositiveloss = True
+        delta = 0.5
+        distance = visiononly = siglip = distill = False
+        lam = None
+        gather_with_grad = True
+
+    step = build_train_step(
+        model, make_loss_apply(create_loss(Args())), create_optimizer(lr=1e-3),
+        donate=False,
+    )
+    state = create_train_state(variables, create_optimizer(lr=1e-3))
+    rng = np.random.RandomState(14)
+    batch = {
+        "images": jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32),
+        "tokens": jnp.asarray(rng.randint(1, 63, (4, 8)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32),
+    }
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
