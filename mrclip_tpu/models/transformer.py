@@ -62,9 +62,11 @@ class ResidualAttentionBlock(nn.Module):
         x: jax.Array,
         kv: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
-        *,
         deterministic: bool = True,
     ) -> jax.Array:
+        # `deterministic` is positional so nn.remat can pin it static
+        # (static_argnums in _remat_block); a traced bool would break the
+        # python branches in drop()/branch_drop().
         width = x.shape[-1]
 
         def drop(t):
@@ -137,7 +139,8 @@ REMAT_POLICIES = {
 
 def _remat_block(cls, policy_name: str):
     policy = REMAT_POLICIES.get(policy_name)
-    return nn.remat(cls, prevent_cse=False, policy=policy)
+    # argnums count the module as 0: (self, x, kv, mask, deterministic)
+    return nn.remat(cls, prevent_cse=False, policy=policy, static_argnums=(4,))
 
 
 class _ScanBlock(nn.Module):
@@ -152,7 +155,7 @@ class _ScanBlock(nn.Module):
         cls = ResidualAttentionBlock
         if self.remat:
             cls = _remat_block(cls, self.remat_policy)
-        x = cls(name="block", **self.block_kwargs)(x, kv, mask, deterministic=deterministic)
+        x = cls(name="block", **self.block_kwargs)(x, kv, mask, deterministic)
         return x, None
 
 
@@ -238,7 +241,7 @@ class Transformer(nn.Module):
                     name=f"blocks_{i}",
                     drop_path=self.drop_path * i / max(self.layers - 1, 1),
                     **block_kwargs,
-                )(x, kv, mask, deterministic=deterministic)
+                )(x, kv, mask, deterministic)
         return x
 
 

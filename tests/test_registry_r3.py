@@ -265,3 +265,27 @@ def test_convnext_large_d_trains_with_drop_path():
     }
     state, metrics = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_with_train_mode_dropout_and_drop_path():
+    """nn.remat blocks must accept train mode: deterministic is pinned
+    static (static_argnums) so drop_path/textdropout work under remat
+    (was a TracerBoolConversionError)."""
+    from mrclip_tpu.models.text import TextTransformer
+    from mrclip_tpu.models.vision import VisionTransformer
+
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    vit = VisionTransformer(image_size=32, patch_size=16, width=32, layers=2,
+                            heads=2, output_dim=None, drop_path=0.5,
+                            scan_layers=False, remat=True)
+    v = vit.init(jax.random.key(0), imgs)
+    train = vit.apply(v, imgs, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+    assert float(jnp.abs(train - vit.apply(v, imgs)).max()) > 0.0
+
+    toks = jnp.asarray(np.random.RandomState(1).randint(1, 63, (2, 8)), jnp.int32)
+    txt = TextTransformer(context_length=8, vocab_size=64, width=32, heads=2,
+                          layers=2, output_dim=16, dropout=0.3,
+                          scan_layers=False, remat=True)
+    vt = txt.init(jax.random.key(0), toks)
+    txt.apply(vt, toks, deterministic=False, rngs={"dropout": jax.random.key(1)})
