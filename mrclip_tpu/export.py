@@ -18,6 +18,15 @@ import argparse
 
 
 def main(argv=None) -> str:
+    # Honor the caller's JAX_PLATFORMS (same re-assert as bench.py/train
+    # main): TPU plugins register themselves ahead of the env var, so
+    # JAX_PLATFORMS=cpu would otherwise silently grab the TPU.
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     p = argparse.ArgumentParser("mrclip_tpu export")
     p.add_argument("--model", required=True, help="model config name, e.g. ViT-B-16")
     p.add_argument(

@@ -29,9 +29,24 @@ __all__ = ["export_model", "save_exported", "load_exported", "ServedModel"]
 
 @dataclasses.dataclass
 class ExportedModel:
-    encode_image: Any  # jax.export.Exported
-    encode_text: Any
+    """In-memory export: raw `jax.export.Exported` programs + callable
+    encoders (`Exported` objects themselves are not callable — use the
+    methods, exactly like the post-load `ServedModel`)."""
+
+    exported_image: Any  # jax.export.Exported
+    exported_text: Any
     meta: dict
+
+    def encode_image(self, images) -> np.ndarray:
+        return self.exported_image.call(jnp.asarray(images, jnp.float32))
+
+    def encode_text(self, tokens) -> np.ndarray:
+        return self.exported_text.call(jnp.asarray(tokens, jnp.int32))
+
+    def logits(self, images: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        return self.meta.get("logit_scale", 100.0) * np.asarray(img) @ np.asarray(txt).T
 
 
 @dataclasses.dataclass
@@ -130,8 +145,8 @@ def export_model(
 def save_exported(exported: ExportedModel, path: str) -> None:
     """Serialize both encoders + metadata into one zip artifact."""
     with zipfile.ZipFile(path, "w") as zf:
-        zf.writestr("encode_image.hlo", exported.encode_image.serialize())
-        zf.writestr("encode_text.hlo", exported.encode_text.serialize())
+        zf.writestr("encode_image.hlo", exported.exported_image.serialize())
+        zf.writestr("encode_text.hlo", exported.exported_text.serialize())
         zf.writestr("meta.json", json.dumps(exported.meta))
 
 

@@ -96,3 +96,42 @@ def test_export_symbolic_batch(tmp_path):
     for b in (1, 3, 5):
         out = served.encode_image(np.random.rand(b, 64, 64, 3).astype(np.float32))
         assert np.asarray(out).shape == (b, 64)
+
+
+def test_export_in_memory_callable():
+    """export_model's in-memory result must be usable without a save/load
+    round-trip (regression: raw jax.export.Exported is not callable)."""
+    model, variables = create_model("ViT-B-32-mini")
+    exported = export_model(model, variables, batch_size=2)
+    images = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+    tokens = np.random.RandomState(3).randint(1, 49408, (2, 32)).astype(np.int32)
+    embed = np.asarray(exported.encode_image(images)).shape[-1]
+    live = model.apply(variables, jnp.asarray(images), None)
+    assert embed == np.asarray(live["image_features"]).shape[-1]
+    assert exported.logits(images, tokens).shape == (2, 2)
+
+
+def test_export_rn50_batch_stats_tower(tmp_path):
+    """BN towers (RN family) export/serve: batch_stats baked into the
+    artifact, eval-mode statistics."""
+    from mrclip_tpu.factory import _MODEL_CONFIGS
+
+    _MODEL_CONFIGS.setdefault("RN50-mini-serve", {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 64, "layers": [1, 1, 1, 1], "width": 16,
+                       "head_width": 16},
+        "text_cfg": {"context_length": 16, "vocab_size": 1000, "width": 32,
+                     "heads": 2, "layers": 2},
+    })
+    model, variables = create_model("RN50-mini-serve")
+    exported = export_model(model, variables, batch_size=2)
+    path = str(tmp_path / "rn.mrclip")
+    save_exported(exported, path)
+    served = load_exported(path)
+
+    images = np.random.RandomState(4).rand(2, 64, 64, 3).astype(np.float32)
+    live = model.apply(variables, jnp.asarray(images), None)
+    np.testing.assert_allclose(
+        np.asarray(served.encode_image(images)),
+        np.asarray(live["image_features"]), atol=1e-5,
+    )
