@@ -115,6 +115,12 @@ def main():
     )
     parser.add_argument("--trace", type=str, default=None, help="capture a jax.profiler trace into this dir")
     parser.add_argument(
+        "--opt", type=str, default="adamw",
+        choices=["adamw", "sgd", "lion", "adafactor"],
+        help="optimizer (adafactor's factored second moment fits ~1B-param "
+             "models on one 16G chip where Adam state cannot)",
+    )
+    parser.add_argument(
         "--infer", action="store_true",
         help="measure forward-only encode_image throughput instead of the train step",
     )
@@ -233,7 +239,8 @@ def main():
         loss_chunk_size = 1024
 
     tx = create_optimizer(
-        lr=1e-4, wd=0.2, moments_dtype="bfloat16" if args.bf16_moments else None
+        lr=1e-4, wd=0.2, opt=args.opt,
+        moments_dtype="bfloat16" if args.bf16_moments else None
     )
     state = create_train_state(variables, tx)
     step = build_train_step(model, make_loss_apply(create_loss(LossArgs())), tx, donate=True)
