@@ -289,3 +289,39 @@ def test_remat_with_train_mode_dropout_and_drop_path():
                           scan_layers=False, remat=True)
     vt = txt.init(jax.random.key(0), toks)
     txt.apply(vt, toks, deterministic=False, rngs={"dropout": jax.random.key(1)})
+
+
+@pytest.mark.parametrize("opt", ["sgd", "lion", "adafactor"])
+def test_optimizer_variants_step(opt):
+    """Non-adamw optimizers (reference --opt delegates to timm; optax
+    covers the space natively) take a finite train step and move params."""
+    from mrclip_tpu.factory import create_loss
+    from mrclip_tpu.parallel import (
+        build_train_step, create_optimizer, create_train_state, make_loss_apply,
+    )
+
+    class Args:
+        multipositiveloss = True
+        delta = 0.5
+        distance = visiononly = siglip = distill = False
+        lam = None
+        gather_with_grad = True
+
+    model, variables = create_model("ViT-B-32-mini", rng_seed=0)
+    tx = create_optimizer(lr=1e-3, opt=opt)
+    state = create_train_state(variables, tx)
+    step = build_train_step(model, make_loss_apply(create_loss(Args())), tx, donate=False)
+    rng = np.random.RandomState(15)
+    batch = {
+        "images": jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32),
+        "tokens": jnp.asarray(rng.randint(1, 49407, (4, 32)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32),
+    }
+    before = np.asarray(variables["params"]["logit_scale"])
+    new_state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()),
+        state.params, new_state.params,
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
