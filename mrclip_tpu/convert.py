@@ -265,13 +265,77 @@ def timm_vit_to_vision_params(
         raise ValueError("not a timm ViT state dict: no blocks.N.* keys")
 
     def block_params(layer):
-        if "mlp.w1.weight" in layer or "mlp.w12.weight" in layer:
+        # Original EVA02 (QuanSun EVA-CLIP) naming -> timm naming; timm's
+        # own checkpoint_filter_fn does the same remap on load.
+        for old, new in (
+            ("mlp.w1", "mlp.fc1_g"), ("mlp.w2", "mlp.fc1_x"),
+            ("mlp.w3", "mlp.fc2"), ("mlp.ffn_ln", "mlp.norm"),
+            ("attn.inner_attn_ln", "attn.norm"),
+        ):
+            for suffix in (".weight", ".bias"):
+                if old + suffix in layer:
+                    layer[new + suffix] = layer.pop(old + suffix)
+        if "mlp.w12.weight" in layer:
             raise NotImplementedError(
-                "EVA02-style block (SwiGLU mlp.w1/w2, sub-LN, rotary pos "
-                "embed) has no TPU-native mapping — porting needs a SwiGLU "
-                "MLP + rope in models/transformer.py; only the EVA01 giant "
-                "(plain pre-LN ViT) layout maps onto the native tower"
+                "fused SwiGLU gate projection (mlp.w12) has no mapping; "
+                "split into w1/w2 first"
             )
+        if "attn.q_norm.weight" in layer:
+            raise NotImplementedError(
+                "per-head q/k norm (attn.q_norm/k_norm) has no TPU-native "
+                "mapping on the fused-QKV tower"
+            )
+        if "mlp.fc1_g.weight" in layer:
+            # EVA02 SwiGLU block (timm eva.py EvaBlock, qkv_fused=False):
+            # separate q/k/v projections (k bias-free), inner attention LN,
+            # gated MLP with sub-LN -> models.layers.SwiGLU param names.
+            qkv_w = np.concatenate(
+                [layer["attn.q_proj.weight"], layer["attn.k_proj.weight"],
+                 layer["attn.v_proj.weight"]], axis=0,
+            )
+            qkv_b = np.concatenate(
+                [layer["attn.q_proj.bias"],
+                 np.zeros_like(layer["attn.q_proj.bias"]),
+                 layer["attn.v_proj.bias"]],
+            )
+            attn = {
+                "in_proj": {"kernel": qkv_w.T, "bias": qkv_b},
+                "out_proj": {
+                    "kernel": layer["attn.proj.weight"].T,
+                    "bias": layer["attn.proj.bias"],
+                },
+            }
+            if "attn.norm.weight" in layer:
+                attn["norm"] = {
+                    "scale": layer["attn.norm.weight"],
+                    "bias": layer["attn.norm.bias"],
+                }
+            mlp = {
+                "fc1_g": {"kernel": layer["mlp.fc1_g.weight"].T,
+                          "bias": layer["mlp.fc1_g.bias"]},
+                "fc1_x": {"kernel": layer["mlp.fc1_x.weight"].T,
+                          "bias": layer["mlp.fc1_x.bias"]},
+                "fc2": {"kernel": layer["mlp.fc2.weight"].T,
+                        "bias": layer["mlp.fc2.bias"]},
+            }
+            if "mlp.norm.weight" in layer:
+                mlp["norm"] = {"scale": layer["mlp.norm.weight"],
+                               "bias": layer["mlp.norm.bias"]}
+            return {
+                "ln_1": {"scale": layer["norm1.weight"], "bias": layer["norm1.bias"]},
+                "attn": attn,
+                "ln_2": {"scale": layer["norm2.weight"], "bias": layer["norm2.bias"]},
+                "mlp": mlp,
+            }
+        if "attn.q_proj.weight" in layer:
+            # split q/k/v but plain MLP (no known timm family; map anyway)
+            layer = dict(layer)
+            layer["attn.qkv.weight"] = np.concatenate(
+                [layer["attn.q_proj.weight"], layer["attn.k_proj.weight"],
+                 layer["attn.v_proj.weight"]], axis=0,
+            )
+            layer["attn.q_bias"] = layer["attn.q_proj.bias"]
+            layer["attn.v_bias"] = layer["attn.v_proj.bias"]
         if "attn.qkv.bias" in layer:
             qkv_bias = layer["attn.qkv.bias"]
         elif "attn.q_bias" in layer:

@@ -231,6 +231,58 @@ def _build_timm_vit_tower(
             patch_bias=True,
             no_ln_pre=True,
             pool_type="tok",
+            ln_eps=1e-6,  # timm Eva norm_layer eps (r3 fix: was torch-default 1e-5)
+            drop_path=vision_cfg.timm_drop_path or 0.0,
+            act=act,
+            attn_impl=attn_impl,
+            scan_layers=scan_layers,
+            remat=remat,
+            remat_policy=remat_policy,
+            dtype=dtype,
+            name=name,
+        )
+    m_eva02 = _re.match(
+        r"eva02_(base|large|enormous)_patch(\d+)(?:_plus)?_clip_(224|336)$", tname
+    )
+    if m_eva02:
+        # EVA02 CLIP towers (timm eva.py; reference pretrained.py:454-474).
+        # B/L: pre-norm blocks with axial 2D rope (+ learned abs pos),
+        # SwiGLU MLP (hidden = int(width*8/3)) with sub-LN, inner attention
+        # LN, split q/k/v projections (k bias-free — the converter fuses
+        # with a zero k-bias segment). E (enormous): post-norm blocks,
+        # fused qkv, plain GELU MLP, no rope. All use LN eps 1e-6.
+        size, res = m_eva02.group(1), int(m_eva02.group(3))
+        width, layers, heads = {
+            "base": (768, 12, 12),
+            "large": (1024, 24, 16),
+            "enormous": (1792, 64, 16),
+        }[size]
+        if vision_cfg.timm_pool not in ("token", "tok", ""):
+            raise NotImplementedError(
+                f"timm_pool='{vision_cfg.timm_pool}' unsupported for EVA02 "
+                "(token pooling only)"
+            )
+        enormous = size == "enormous"
+        return VisionTransformer(
+            image_size=vision_cfg.image_size or res,
+            patch_size=int(m_eva02.group(2)),
+            width=width,
+            layers=layers,
+            heads=heads,
+            mlp_ratio=(15360 / 1792) if enormous else (4 * 2 / 3),
+            output_dim=None if vision_cfg.timm_proj in ("none",) else embed_dim,
+            patch_bias=True,
+            no_ln_pre=True,
+            pool_type="tok",
+            use_rope=not enormous,
+            # MIM pretraining grid (224/14); fine-tuned resolutions rescale
+            # their patch coordinates onto it (timm ref_feat_shape).
+            rope_ref_feat_shape=None if enormous else (16, 16),
+            mlp_type="mlp" if enormous else "swiglu",
+            mlp_norm=not enormous,
+            attn_inner_norm=not enormous,
+            post_norm_blocks=enormous,
+            ln_eps=1e-6,
             drop_path=vision_cfg.timm_drop_path or 0.0,
             act=act,
             attn_impl=attn_impl,
@@ -242,10 +294,10 @@ def _build_timm_vit_tower(
         )
     if tname.startswith("eva02_"):
         raise NotImplementedError(
-            f"timm model '{tname}' (EVA02) has no TPU-native mapping: EVA02 "
-            "blocks use rotary position embeddings, SwiGLU MLPs, and sub-LN "
-            "— porting needs those in models/transformer.py. EVA01 giant "
-            "(eva_giant_patch14_*) is supported."
+            f"timm model '{tname}' (EVA02) has no TPU-native mapping for "
+            "this variant; supported: eva02_{base,large,enormous}[_plus]"
+            "_patch{14,16}_clip_{224,336} and EVA01 giant "
+            "(eva_giant_patch14_*)."
         )
     if tname.startswith("vitamin_"):
         raise NotImplementedError(

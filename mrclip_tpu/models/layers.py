@@ -32,6 +32,8 @@ __all__ = [
     "AttentionalPooler",
     "MAPHead",
     "MLP",
+    "SwiGLU",
+    "apply_rope_cat",
 ]
 
 
@@ -153,6 +155,53 @@ class MLP(nn.Module):
         return x
 
 
+class SwiGLU(nn.Module):
+    """Gated-SiLU MLP with optional sub-LN, the EVA02 FFN.
+
+    silu(fc1_g(x)) * fc1_x(x) -> [LN] -> fc2 (timm `layers/mlp.py::SwiGLU`
+    as instantiated by the reference's TimmModel-wrapped `eva02_*_clip_*`
+    towers; the original EVA02 naming w1/w2/ffn_ln/w3 maps onto
+    fc1_g/fc1_x/norm/fc2 in `convert.py`). The gate and value projections
+    stay two separate matmuls: XLA fuses the silu/multiply into whichever
+    one it schedules last, and two [D, H] matmuls tile the MXU exactly like
+    one [D, 2H].
+    """
+
+    width: int
+    hidden: int
+    use_norm: bool = True  # sub-LN between gate and down-projection
+    ln_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = nn.Dense(self.hidden, dtype=self.dtype, name="fc1_g")(x)
+        v = nn.Dense(self.hidden, dtype=self.dtype, name="fc1_x")(x)
+        y = jax.nn.silu(g) * v
+        if self.use_norm:
+            y = LayerNorm(epsilon=self.ln_eps, name="norm")(y)
+        return nn.Dense(self.width, dtype=self.dtype, name="fc2")(y)
+
+
+def apply_rope_cat(t: jax.Array, rope: jax.Array, prefix: int) -> jax.Array:
+    """Rotate q/k by a concatenated sin||cos rope table.
+
+    `t`: [B, N, H, hd]; `rope`: [N - prefix, 2*hd] from
+    `ops.pos_embed.rope_cat_2d`. The first `prefix` tokens (CLS) pass
+    through unrotated, exactly timm `eva.py`'s
+    `cat([q[:, :, :npt], apply_rot_embed_cat(q[:, :, npt:], rope)])`.
+    Rotation runs in fp32 and casts back (bf16 sin/cos would cost rope
+    accuracy for no matmul benefit — this is a VPU-only elementwise op).
+    """
+    sin, cos = jnp.split(rope.astype(jnp.float32), 2, axis=-1)  # [P, hd]
+    x = t[:, prefix:].astype(jnp.float32)
+    pairs = x.reshape(*x.shape[:-1], -1, 2)
+    rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(x.shape)
+    # broadcast [P, hd] over [B, P, H, hd]
+    y = x * cos[None, :, None, :] + rot * sin[None, :, None, :]
+    return jnp.concatenate([t[:, :prefix], y.astype(t.dtype)], axis=1)
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention with fused QKV projection.
 
@@ -171,6 +220,10 @@ class MultiHeadAttention(nn.Module):
     # 'flash' = Pallas fused kernel, no HBM score matrix (single-device TPU;
     # see ops/flash_attn.py for why it is not the multi-chip default).
     attn_impl: str = "xla"
+    # EVA02 sub-LN: LayerNorm over the merged heads before out_proj
+    # (timm eva.py EvaAttention `scale_attn_inner`).
+    inner_norm: bool = False
+    ln_eps: float = 1e-6  # inner-norm eps (timm Eva default)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -181,10 +234,14 @@ class MultiHeadAttention(nn.Module):
         kv: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         is_causal: bool = False,
+        rope: Optional[jax.Array] = None,
+        rope_prefix: int = 1,
     ) -> jax.Array:
         """`x`: [B, N, D] queries. `kv`: [B, M, D] for cross-attention.
 
         `mask`: additive fp32 bias [..., N, M] or boolean (True = attend).
+        `rope`: optional [N - rope_prefix, 2*head_dim] sin||cos table
+        rotating q and k (self-attention only).
         """
         d = x.shape[-1]
         head_dim = d // self.num_heads
@@ -204,6 +261,11 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, head_dim)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        if rope is not None:
+            assert kv is None, "rope applies to self-attention only"
+            q = apply_rope_cat(q, rope, rope_prefix)
+            k = apply_rope_cat(k, rope, rope_prefix)
 
         if self.scaled_cosine:
             logit_scale = self.param(
@@ -273,6 +335,8 @@ class MultiHeadAttention(nn.Module):
             out = out * head_scale.astype(out.dtype)
 
         out = out.reshape(out.shape[0], out.shape[1], d)
+        if self.inner_norm:
+            out = LayerNorm(epsilon=self.ln_eps, name="norm")(out)
         return nn.Dense(d, use_bias=self.use_bias, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-from .layers import MLP, LayerNorm, LayerScale, MultiHeadAttention, gelu_exact
+from .layers import MLP, LayerNorm, LayerScale, MultiHeadAttention, SwiGLU, gelu_exact
 
 Dtype = Any
 
@@ -54,6 +54,14 @@ class ResidualAttentionBlock(nn.Module):
     drop_path: float = 0.0
     attn_impl: str = "xla"
     ln_eps: float = 1e-5  # torch default; CLIPA/big_vision configs use 1e-6
+    # EVA02 block shape (timm eva.py via the reference's TimmModel towers):
+    # 'swiglu' MLP (+ sub-LN when mlp_norm), inner attention LN, and the
+    # post-norm residual form (EvaBlockPostNorm, EVA02-E) where ln_1/ln_2
+    # normalize the sublayer OUTPUT instead of its input.
+    mlp_type: str = "mlp"  # 'mlp' | 'swiglu'
+    mlp_norm: bool = False
+    attn_inner_norm: bool = False
+    post_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -63,6 +71,7 @@ class ResidualAttentionBlock(nn.Module):
         kv: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        rope: Optional[jax.Array] = None,
     ) -> jax.Array:
         # `deterministic` is positional so nn.remat can pin it static
         # (static_argnums in _remat_block); a traced bool would break the
@@ -103,21 +112,35 @@ class ResidualAttentionBlock(nn.Module):
             y = checkpoint_name(y, "attn_out")
             x = x + branch_drop(maybe_ls("ls_1")(drop(y)))
         else:
-            y = LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
-            y = MultiHeadAttention(
+            attn = MultiHeadAttention(
                 num_heads=self.num_heads,
                 scaled_cosine=self.scaled_cosine,
                 scale_heads=self.scale_heads,
                 attn_impl=self.attn_impl,
+                inner_norm=self.attn_inner_norm,
+                ln_eps=self.ln_eps,
                 dtype=self.dtype,
                 name="attn",
-            )(y, mask=mask, is_causal=self.is_causal)
+            )
+            y = x if self.post_norm else LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
+            y = attn(y, mask=mask, is_causal=self.is_causal, rope=rope)
             # remat tag: `mlp_only` policy saves this and recomputes the MLP
             y = checkpoint_name(y, "attn_out")
+            if self.post_norm:
+                y = LayerNorm(epsilon=self.ln_eps, name="ln_1")(y)
             x = x + branch_drop(maybe_ls("ls_1")(drop(y)))
 
-        y = LayerNorm(epsilon=self.ln_eps, name="ln_2")(x)
-        y = MLP(width=width, hidden=int(width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(y)
+        y = x if self.post_norm else LayerNorm(epsilon=self.ln_eps, name="ln_2")(x)
+        if self.mlp_type == "swiglu":
+            y = SwiGLU(
+                width=width, hidden=int(width * self.mlp_ratio),
+                use_norm=self.mlp_norm, ln_eps=self.ln_eps,
+                dtype=self.dtype, name="mlp",
+            )(y)
+        else:
+            y = MLP(width=width, hidden=int(width * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp")(y)
+        if self.post_norm:
+            y = LayerNorm(epsilon=self.ln_eps, name="ln_2")(y)
         x = x + branch_drop(maybe_ls("ls_2")(drop(y)))
         return x
 
@@ -151,11 +174,11 @@ class _ScanBlock(nn.Module):
     remat_policy: str = "dots"
 
     @nn.compact
-    def __call__(self, x, kv, mask, deterministic):
+    def __call__(self, x, kv, mask, deterministic, rope):
         cls = ResidualAttentionBlock
         if self.remat:
             cls = _remat_block(cls, self.remat_policy)
-        x = cls(name="block", **self.block_kwargs)(x, kv, mask, deterministic)
+        x = cls(name="block", **self.block_kwargs)(x, kv, mask, deterministic, rope)
         return x, None
 
 
@@ -183,6 +206,10 @@ class Transformer(nn.Module):
     drop_path: float = 0.0
     attn_impl: str = "xla"
     ln_eps: float = 1e-5
+    mlp_type: str = "mlp"
+    mlp_norm: bool = False
+    attn_inner_norm: bool = False
+    post_norm: bool = False
     scan_layers: bool = True
     remat: bool = False
     remat_policy: str = "dots"
@@ -196,6 +223,7 @@ class Transformer(nn.Module):
         mask: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        rope: Optional[jax.Array] = None,
     ) -> jax.Array:
         block_kwargs = dict(
             num_heads=self.heads,
@@ -209,6 +237,10 @@ class Transformer(nn.Module):
             dropout=self.dropout,
             attn_impl=self.attn_impl,
             ln_eps=self.ln_eps,
+            mlp_type=self.mlp_type,
+            mlp_norm=self.mlp_norm,
+            attn_inner_norm=self.attn_inner_norm,
+            post_norm=self.post_norm,
             dtype=self.dtype,
         )
 
@@ -223,7 +255,7 @@ class Transformer(nn.Module):
                 _ScanBlock,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.layers,
             )(
                 block_kwargs=block_kwargs,
@@ -231,7 +263,7 @@ class Transformer(nn.Module):
                 remat_policy=self.remat_policy,
                 name="blocks",
             )
-            x, _ = scanned(x, kv, mask, deterministic)
+            x, _ = scanned(x, kv, mask, deterministic, rope)
         else:
             cls = ResidualAttentionBlock
             if self.remat:
@@ -241,7 +273,7 @@ class Transformer(nn.Module):
                     name=f"blocks_{i}",
                     drop_path=self.drop_path * i / max(self.layers - 1, 1),
                     **block_kwargs,
-                )(x, kv, mask, deterministic)
+                )(x, kv, mask, deterministic, rope)
         return x
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pos_embed import sincos_2d
+from ..ops.pos_embed import rope_cat_2d, sincos_2d
 from .layers import AttentionalPooler, LayerNorm, MAPHead, PatchDropout, gelu_exact
 from .transformer import Transformer
 
@@ -81,6 +81,15 @@ class VisionTransformer(nn.Module):
     drop_path: float = 0.0  # timm stochastic depth (unrolled stacks only)
     output_tokens: bool = False
     patch_bias: bool = False
+    # EVA02 towers (timm eva.py): axial 2D rope on q/k (+ abs pos embed),
+    # SwiGLU MLPs with sub-LN, inner attention LN; EVA02-E additionally
+    # uses the post-norm residual form.
+    use_rope: bool = False
+    rope_ref_feat_shape: Optional[Tuple[int, int]] = None
+    mlp_type: str = "mlp"  # 'mlp' | 'swiglu'
+    mlp_norm: bool = False
+    attn_inner_norm: bool = False
+    post_norm_blocks: bool = False
     attn_impl: str = "xla"
     scan_layers: bool = True
     remat: bool = False
@@ -154,6 +163,20 @@ class VisionTransformer(nn.Module):
         if not self.no_ln_pre:
             x = LayerNorm(epsilon=self.ln_eps, name="ln_pre")(x)
 
+        rope = None
+        if self.use_rope:
+            # MultiHeadAttention skips rotation on one prefix token (CLS).
+            assert self.use_cls_token, "use_rope expects a CLS token (EVA02 layout)"
+            head_dim = self.width // self.heads
+            rope = jnp.asarray(
+                rope_cat_2d(head_dim, gh, gw, ref_feat_shape=self.rope_ref_feat_shape)
+            )
+            if self.patch_dropout > 0:
+                raise NotImplementedError(
+                    "rope indexes patches by grid position; patch_dropout "
+                    "reorders them (unsupported combination)"
+                )
+
         x = Transformer(
             width=self.width,
             layers=self.layers,
@@ -167,9 +190,13 @@ class VisionTransformer(nn.Module):
             remat=self.remat,
             remat_policy=self.remat_policy,
             ln_eps=self.ln_eps,
+            mlp_type=self.mlp_type,
+            mlp_norm=self.mlp_norm,
+            attn_inner_norm=self.attn_inner_norm,
+            post_norm=self.post_norm_blocks,
             dtype=self.dtype,
             name="transformer",
-        )(x, deterministic=deterministic)
+        )(x, deterministic=deterministic, rope=rope)
 
         def global_pool(t):
             patches = t[:, 1:] if self.use_cls_token else t

@@ -403,6 +403,34 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
             hf_hub="timm/eva_giant_patch14_plus_clip_224.merged2b_s11b_b114k/"
         ),
     },
+    # EVA02 (reference pretrained.py:454-474): timm eva02 clip trunks —
+    # rope + SwiGLU sub-LN ViTs (B/L) and the post-norm enormous (E),
+    # natively rebuilt (models/clip.py eva02 branch + convert.py remap).
+    "EVA02-B-16": {
+        "merged2b_s8b_b131k": _pcfg(
+            hf_hub="timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k/"
+        ),
+    },
+    "EVA02-L-14": {
+        "merged2b_s4b_b131k": _pcfg(
+            hf_hub="timm/eva02_large_patch14_clip_224.merged2b_s4b_b131k/"
+        ),
+    },
+    "EVA02-L-14-336": {
+        "merged2b_s6b_b61k": _pcfg(
+            hf_hub="timm/eva02_large_patch14_clip_336.merged2b_s6b_b61k/"
+        ),
+    },
+    "EVA02-E-14": {
+        "laion2b_s4b_b115k": _pcfg(
+            hf_hub="timm/eva02_enormous_patch14_clip_224.laion2b_s4b_b115k/"
+        ),
+    },
+    "EVA02-E-14-plus": {
+        "laion2b_s9b_b144k": _pcfg(
+            hf_hub="timm/eva02_enormous_patch14_plus_clip_224.laion2b_s9b_b144k/"
+        ),
+    },
     "coca_ViT-B-32": {
         "laion2b_s13b_b90k": _apcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
         "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(

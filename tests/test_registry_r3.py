@@ -104,28 +104,19 @@ def test_eva_qv_bias_conversion():
     np.testing.assert_array_equal(got, want)
 
 
-def test_eva02_block_rejected():
-    from mrclip_tpu.convert import timm_vit_to_vision_params
-
-    sd = {
-        "patch_embed.proj.weight": np.zeros((8, 3, 4, 4), np.float32),
-        "patch_embed.proj.bias": np.zeros(8, np.float32),
-        "pos_embed": np.zeros((1, 5, 8), np.float32),
-        "norm.weight": np.ones(8, np.float32),
-        "norm.bias": np.zeros(8, np.float32),
-        "blocks.0.mlp.w1.weight": np.zeros((8, 8), np.float32),
-    }
-    with pytest.raises(NotImplementedError, match="EVA02"):
-        timm_vit_to_vision_params(sd, scan_layers=False)
-
-
-def test_eva02_and_vitamin_tower_rejected():
+def test_unportable_towers_rejected():
+    """EVA02 is natively supported as of r3 (test_eva02.py); non-clip EVA02
+    variants and ViTamin hybrids still reject loudly."""
     from mrclip_tpu.models.clip import CLIPVisionCfg, build_vision_tower
 
-    for tname, match in (("eva02_large_patch14_clip_224", "EVA02"),
+    for tname, match in (("eva02_large_patch14_448", "EVA02"),
                          ("vitamin_large_256", "ViTamin")):
         with pytest.raises(NotImplementedError, match=match):
             build_vision_tower(768, CLIPVisionCfg(timm_model_name=tname))
+    # the clip variant now builds
+    tower = build_vision_tower(768, CLIPVisionCfg(
+        timm_model_name="eva02_large_patch14_clip_224", timm_pool="token"))
+    assert tower.use_rope and tower.mlp_type == "swiglu"
 
 
 def test_convnext_mlp_head_import_and_forward():
