@@ -104,11 +104,15 @@ def param_sharding_rules(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     # (attention/self/{query,key,value}, intermediate/dense out-dim;
     # attention/output/dense + <mlp> output/dense in-dim), and distilbert
     # (q_lin/k_lin/v_lin/ffn lin1 vs out_lin/lin2).
+    # EVA02 SwiGLU (models/layers.py): fc1_g/fc1_x expand (column),
+    # fc2 contracts (row). The SwiGLU sub-LN ('norm', 1-D) replicates like
+    # every other norm param.
     _TP_COL = ("in_proj", "c_fc", "q_proj", "k_proj", "v_proj",
                "['query']", "['key']", "['value']", "['intermediate']",
-               "q_lin", "k_lin", "v_lin", "['lin1']")
+               "q_lin", "k_lin", "v_lin", "['lin1']",
+               "fc1_g", "fc1_x", "['fc1']")
     _TP_ROW = ("out_proj", "c_proj", "['output']['dense']",
-               "out_lin", "['lin2']")
+               "out_lin", "['lin2']", "['fc2']")
 
     if ndim >= 2:
         if tp_size > 1:

@@ -59,7 +59,7 @@ def _apply_rot_torch(x, table):
     return x * cos + rot * sin
 
 
-def _mini_eva02_sd(seed=0, post_norm=False):
+def _mini_eva02_sd(seed=0, post_norm=False, hid=HID):
     rng = np.random.RandomState(seed)
     r = lambda *s: (rng.randn(*s) * 0.05).astype(np.float32)
     sd = {
@@ -92,10 +92,10 @@ def _mini_eva02_sd(seed=0, post_norm=False):
                 p + "attn.k_proj.weight": r(D, D),
                 p + "attn.v_proj.weight": r(D, D), p + "attn.v_proj.bias": r(D),
                 p + "attn.norm.weight": 1 + r(D), p + "attn.norm.bias": r(D),
-                p + "mlp.fc1_g.weight": r(HID, D), p + "mlp.fc1_g.bias": r(HID),
-                p + "mlp.fc1_x.weight": r(HID, D), p + "mlp.fc1_x.bias": r(HID),
-                p + "mlp.norm.weight": 1 + r(HID), p + "mlp.norm.bias": r(HID),
-                p + "mlp.fc2.weight": r(D, HID), p + "mlp.fc2.bias": r(D),
+                p + "mlp.fc1_g.weight": r(hid, D), p + "mlp.fc1_g.bias": r(hid),
+                p + "mlp.fc1_x.weight": r(hid, D), p + "mlp.fc1_x.bias": r(hid),
+                p + "mlp.norm.weight": 1 + r(hid), p + "mlp.norm.bias": r(hid),
+                p + "mlp.fc2.weight": r(D, hid), p + "mlp.fc2.bias": r(D),
             })
     return sd
 
@@ -159,10 +159,10 @@ def _torch_eva02_forward(sd, images, ref, post_norm=False):
     return (x[:, 0] @ t("head.weight").T).numpy()
 
 
-def _native_tower(post_norm, ref, scan_layers):
+def _native_tower(post_norm, ref, scan_layers, mlp_ratio=None):
     return VisionTransformer(
         image_size=RES, patch_size=PATCH, width=D, layers=LAYERS, heads=HEADS,
-        mlp_ratio=(4.0 if post_norm else 4 * 2 / 3), output_dim=OUT,
+        mlp_ratio=mlp_ratio or (4.0 if post_norm else 4 * 2 / 3), output_dim=OUT,
         patch_bias=True, no_ln_pre=True, pool_type="tok",
         use_rope=not post_norm, rope_ref_feat_shape=None if post_norm else ref,
         mlp_type="mlp" if post_norm else "swiglu", mlp_norm=not post_norm,
@@ -261,6 +261,43 @@ def test_eva02_trunk_layout_conversion():
     want = _torch_eva02_forward(inner, images, None)
     got = np.asarray(vt.apply({"params": params["visual"]}, jnp.asarray(images)))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+def test_eva02_swiglu_tp_sharded_and_steps():
+    """TP rules cover the SwiGLU naming: fc1_g/fc1_x shard column-parallel,
+    fc2 row-parallel, and a grad step over dp2 x fsdp2 x tp2 matches the
+    single-device gradient."""
+    from mrclip_tpu.parallel import create_mesh
+    from mrclip_tpu.parallel.mesh import shard_params
+
+    # hidden must divide tp=2 (the real towers' 2048/2730/15360 all do;
+    # the default mini's int(32*8/3)=85 does not)
+    vt = _native_tower(post_norm=False, ref=None, scan_layers=False, mlp_ratio=2.0)
+    sd = _mini_eva02_sd(hid=64)
+    vis = timm_vit_to_vision_params(sd, scan_layers=False, include_head=True)
+    images = np.random.RandomState(11).rand(8, RES, RES, 3).astype(np.float32)
+
+    def loss_fn(params, imgs):
+        out = vt.apply({"params": params}, imgs)
+        return jnp.sum(out ** 2)
+
+    want = jax.grad(loss_fn)(vis, jnp.asarray(images))
+
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+    shardings = shard_params(vis, mesh)
+    blk = shardings["transformer"]["blocks_0"]
+    assert blk["mlp"]["fc1_g"]["kernel"].spec[-1] == "model"
+    assert blk["mlp"]["fc1_x"]["kernel"].spec[-1] == "model"
+    assert blk["mlp"]["fc2"]["kernel"].spec[0] == "model"
+    params_s = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), vis, shardings
+    )
+    got = jax.jit(jax.grad(loss_fn))(params_s, jnp.asarray(images))
+    err = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), want, got
+    )
+    assert max(jax.tree.leaves(err)) < 1e-4
 
 
 def test_eva02_rope_patch_dropout_rejected():
