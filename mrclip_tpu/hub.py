@@ -20,18 +20,29 @@ __all__ = ["export_torch_state_dict", "save_for_hf", "push_to_hf_hub", "generate
 
 
 def export_torch_state_dict(
-    params: dict, scan_layers: bool = True, batch_stats: Optional[dict] = None
+    params: dict,
+    scan_layers: bool = True,
+    batch_stats: Optional[dict] = None,
+    vision_layout: str = "auto",
 ) -> dict:
     """Flax params -> open_clip-style flat torch state dict (numpy values).
 
     `batch_stats` supplies BN running stats for BatchNorm towers (RN50
     family); without it the exported running stats fall back to the fresh
     mean=0/var=1 a torch BatchNorm initializes with.
+
+    `vision_layout`: 'auto' detects ResNet (attnpool) and EVA02 SwiGLU
+    (fc1_g) trees; pass 'timm_eva02_postnorm' explicitly for EVA02-E
+    exports — its param tree is indistinguishable from a plain ViT's, but
+    the reference loads it from the `visual.trunk.*` timm layout.
     """
     sd = {}
 
     def put(key, val):
-        sd[key] = np.asarray(val)
+        # ascontiguousarray matters: safetensors' numpy writer silently
+        # serializes the RAW buffer of a non-contiguous view (all the .T
+        # kernels here), producing transposed garbage on disk.
+        sd[key] = np.ascontiguousarray(np.asarray(val))
 
     def export_blocks(tree, prefix):
         blocks = tree["transformer"].get("blocks")
@@ -146,8 +157,86 @@ def export_torch_state_dict(
             put(f"visual.attnpool.{proj}.weight", np.asarray(pool[proj]["kernel"]).T)
             put(f"visual.attnpool.{proj}.bias", pool[proj]["bias"])
 
+    def _vision_blocks(vis):
+        blocks = vis["transformer"].get("blocks")
+        if blocks is not None and "block" in blocks:
+            stacked = blocks["block"]
+            n = next(iter_leaves(stacked)).shape[0]
+            return [index_tree(stacked, i) for i in range(n)]
+        keys = sorted(
+            (k for k in vis["transformer"] if k.startswith("blocks_")),
+            key=lambda k: int(k.split("_")[-1]),
+        )
+        return [vis["transformer"][k] for k in keys]
+
+    def export_eva02_trunk(vis, post_norm):
+        """Native EVA02 tower -> `visual.trunk.*` timm eva.py layout — the
+        exact inverse of convert.timm_vit_to_vision_params' eva02 paths
+        (reference loads these via TimmModel, pretrained.py:454-474)."""
+        tp = "visual.trunk."
+        put(tp + "cls_token", np.asarray(vis["class_embedding"]).reshape(1, 1, -1))
+        put(tp + "pos_embed", np.asarray(vis["positional_embedding"])[None])
+        put(tp + "patch_embed.proj.weight",
+            np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1))
+        put(tp + "patch_embed.proj.bias", vis["conv1"]["bias"])
+        for i, blk in enumerate(_vision_blocks(vis)):
+            bp = f"{tp}blocks.{i}."
+            put_ln(bp + "norm1", blk["ln_1"])
+            put_ln(bp + "norm2", blk["ln_2"])
+            qkv_w = np.asarray(blk["attn"]["in_proj"]["kernel"]).T  # [3D, D]
+            qkv_b = np.asarray(blk["attn"]["in_proj"]["bias"])
+            qw, kw, vw = np.split(qkv_w, 3, axis=0)
+            qb, _, vb = np.split(qkv_b, 3)  # k bias is zero by construction
+            if post_norm:
+                # EvaBlockPostNorm: fused qkv with split q/v bias params
+                put(bp + "attn.qkv.weight", qkv_w)
+                put(bp + "attn.q_bias", qb)
+                put(bp + "attn.v_bias", vb)
+                put(bp + "mlp.fc1.weight", np.asarray(blk["mlp"]["c_fc"]["kernel"]).T)
+                put(bp + "mlp.fc1.bias", blk["mlp"]["c_fc"]["bias"])
+                put(bp + "mlp.fc2.weight", np.asarray(blk["mlp"]["c_proj"]["kernel"]).T)
+                put(bp + "mlp.fc2.bias", blk["mlp"]["c_proj"]["bias"])
+            else:
+                put(bp + "attn.q_proj.weight", qw)
+                put(bp + "attn.q_proj.bias", qb)
+                put(bp + "attn.k_proj.weight", kw)
+                put(bp + "attn.v_proj.weight", vw)
+                put(bp + "attn.v_proj.bias", vb)
+                if "norm" in blk["attn"]:
+                    put_ln(bp + "attn.norm", blk["attn"]["norm"])
+                for src, dst in (("fc1_g", "fc1_g"), ("fc1_x", "fc1_x"), ("fc2", "fc2")):
+                    put(bp + f"mlp.{dst}.weight", np.asarray(blk["mlp"][src]["kernel"]).T)
+                    put(bp + f"mlp.{dst}.bias", blk["mlp"][src]["bias"])
+                if "norm" in blk["mlp"]:
+                    put_ln(bp + "mlp.norm", blk["mlp"]["norm"])
+            put(bp + "attn.proj.weight", np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
+            put(bp + "attn.proj.bias", blk["attn"]["out_proj"]["bias"])
+        put_ln(tp + "norm", vis["ln_post"])
+        if "proj" in vis:
+            put("visual.head.proj.weight", np.asarray(vis["proj"]).T)
+
+    def _is_eva02_swiglu(vis):
+        if "transformer" not in vis:
+            return False
+        blocks = _vision_blocks(vis)
+        return bool(blocks) and "fc1_g" in blocks[0].get("mlp", {})
+
     if "visual" in params and "attnpool" in params["visual"]:
         export_resnet_visual(params["visual"])
+    elif "visual" in params and (
+        vision_layout in ("timm_eva02", "timm_eva02_postnorm")
+        or (vision_layout == "auto" and _is_eva02_swiglu(params["visual"]))
+    ):
+        export_eva02_trunk(
+            params["visual"], post_norm=vision_layout == "timm_eva02_postnorm"
+        )
+    elif "visual" in params and "conv1" not in params["visual"]:
+        raise NotImplementedError(
+            "hub export for this vision tower layout (ConvNeXt / SigLIP "
+            "MAP-pool timm trunks) is not implemented — only native "
+            "CLIP-ViT, ModifiedResNet, and EVA02 trunk layouts export; "
+            "use orbax checkpoints for these towers"
+        )
     elif "visual" in params:
         vis = params["visual"]
         put("visual.conv1.weight", np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1))
@@ -163,6 +252,11 @@ def export_torch_state_dict(
             put("visual.proj", vis["proj"])
         if "attn_pool" in vis:
             pool = vis["attn_pool"]
+            if "latent" in pool:
+                raise NotImplementedError(
+                    "hub export of SigLIP MAP-pool trunks is not implemented "
+                    "(timm AttentionPoolLatent layout); use orbax checkpoints"
+                )
             put("visual.attn_pool.query", pool["query"])
             put_ln("visual.attn_pool.ln_q", pool["ln_q"])
             put_ln("visual.attn_pool.ln_k", pool["ln_k"])
@@ -171,6 +265,11 @@ def export_torch_state_dict(
 
     if "text" in params:
         txt = params["text"]
+        if "hf" in txt:
+            raise NotImplementedError(
+                "hub export of HF text towers is not implemented (their "
+                "torch layout is model-specific); use orbax checkpoints"
+            )
         # CoCa checkpoints use the CustomTextCLIP layout (text.* prefix, the
         # layout reference open_clip saves and loads for CoCa — its
         # convert_to_custom_text remap does not cover cls_emb at the root);

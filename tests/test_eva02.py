@@ -300,6 +300,27 @@ def test_eva02_swiglu_tp_sharded_and_steps():
     assert max(jax.tree.leaves(err)) < 1e-4
 
 
+@pytest.mark.parametrize("post_norm", [False, True], ids=["prenorm", "postnorm-E"])
+def test_eva02_hub_export_round_trip(post_norm):
+    """import -> hub export reproduces the timm trunk state dict exactly
+    (the zero k-bias segment the importer synthesizes is dropped back out)."""
+    from mrclip_tpu.hub import export_torch_state_dict
+
+    sd = _mini_eva02_sd(post_norm=post_norm)
+    head = sd.pop("head.weight")
+    vis = timm_vit_to_vision_params(sd, scan_layers=False)
+    vis["proj"] = jnp.asarray(head.T)
+    out = export_torch_state_dict(
+        {"visual": vis}, scan_layers=False,
+        vision_layout="timm_eva02_postnorm" if post_norm else "auto",
+    )
+    want = {f"visual.trunk.{k}": v for k, v in sd.items()}
+    want["visual.head.proj.weight"] = head
+    assert sorted(out) == sorted(want), set(out) ^ set(want)
+    for k in want:
+        np.testing.assert_array_equal(out[k], want[k], err_msg=k)
+
+
 def test_eva02_rope_patch_dropout_rejected():
     vt = VisionTransformer(
         image_size=RES, patch_size=PATCH, width=D, layers=1, heads=HEADS,

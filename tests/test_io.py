@@ -135,6 +135,19 @@ def test_save_for_hf(tmp_path):
     readme = generate_readme({"details": {"Dataset": "MRI"}}, "test-model")
     assert "# Model card for test-model" in readme
 
+    # Regression: safetensors' numpy writer silently serializes the RAW
+    # buffer of non-contiguous views — every transposed kernel in the
+    # export hit this before put() forced contiguity. Verify the FILE
+    # round-trips bit-exact, not just the in-memory dict.
+    sd_mem = export_torch_state_dict(variables["params"], scan_layers=True)
+    try:
+        from safetensors.numpy import load_file
+        sd_disk = load_file(str(tmp_path / "open_clip_model.safetensors"))
+    except ImportError:
+        sd_disk = dict(np.load(str(tmp_path / "open_clip_model.npz")))
+    for k, v in sd_mem.items():
+        np.testing.assert_array_equal(sd_disk[k], v, err_msg=k)
+
 
 def test_pretrained_registry():
     pairs = list_pretrained()
