@@ -124,6 +124,13 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
             validate_aug_cfg(aug, backend="native")
 
         size = getattr(args, "image_size", 224)
+        # Honor the model's preprocess cfg (the transform objects carry it):
+        # SigLIP/CLIPA families squash-resize and CLIPA evals bilinear;
+        # mean/std feed the device-side normalize downstream.
+        pp = getattr(transform, "cfg", None)
+        eval_interp = getattr(pp, "interpolation", None) or "bicubic"
+        if eval_interp not in ("bicubic", "bilinear"):
+            eval_interp = "bicubic"  # 'random' is a train-time-only choice
         loader = NativeBatchLoader(
             dataset,
             batch_size=batch_size,
@@ -133,11 +140,15 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
             with_times=with_times,
             num_threads=getattr(args, "workers", 0),
             drop_last=is_train,
-            augment=is_train,  # train: full native warp; eval: shortest+crop
+            augment=is_train,  # train: full native warp; eval: per-cfg mode
             aug_cfg=aug,
-            eval_resize_mode=getattr(args, "image_resize_mode", None) or "cover",
+            eval_resize_mode=getattr(args, "image_resize_mode", None)
+            or getattr(pp, "resize_mode", None)
+            or "cover",
+            eval_interpolation=eval_interp,
             seed=seed,
         )
+        loader.preprocess_cfg = pp
         return DataInfo(loader, sampler)
 
     loader = DataLoader(

@@ -198,6 +198,12 @@ def create_model(
         # for very deep stacks (ViT-H 32L, bigG 48L). Auto: unroll up to
         # 24 layers.
         v_layers = cfg["vision_cfg"].get("layers", 12)
+        if cfg["vision_cfg"].get("timm_model_name"):
+            # timm-named towers carry no "layers" key; resolve the real
+            # depth so 40-layer EVA01-g / 64-layer EVA02-E stay scanned.
+            from .models.clip import timm_vision_depth
+
+            v_layers = timm_vision_depth(cfg["vision_cfg"]["timm_model_name"])
         n_layers = max(
             v_layers if isinstance(v_layers, int) else 0,
             cfg["text_cfg"].get("layers", 12),
@@ -216,6 +222,7 @@ def create_model(
             text_cfg=cfg["text_cfg"],
             vision_cfg=cfg["vision_cfg"],
             quick_gelu=cfg.get("quick_gelu", False),
+            act_impl="tanh" if gelu_approx else "erf",
             init_logit_scale=cfg.get("init_logit_scale", np.log(1 / 0.07)),
             init_logit_bias=cfg.get("init_logit_bias"),
             scan_layers=scan_layers,

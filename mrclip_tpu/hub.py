@@ -239,6 +239,14 @@ def export_torch_state_dict(
         )
     elif "visual" in params:
         vis = params["visual"]
+        if "class_embedding" not in vis or "latent" in vis.get("attn_pool", {}):
+            # SigLIP trunks (no CLS token, MAP pooling) have conv1 but no
+            # generic-layout export; guard before any put() so the user
+            # gets this message instead of a bare KeyError.
+            raise NotImplementedError(
+                "hub export of SigLIP MAP-pool / no-CLS timm trunks is not "
+                "implemented; use orbax checkpoints"
+            )
         put("visual.conv1.weight", np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1))
         put("visual.class_embedding", vis["class_embedding"])
         put("visual.positional_embedding", vis["positional_embedding"])
@@ -251,12 +259,7 @@ def export_torch_state_dict(
         if "proj" in vis:
             put("visual.proj", vis["proj"])
         if "attn_pool" in vis:
-            pool = vis["attn_pool"]
-            if "latent" in pool:
-                raise NotImplementedError(
-                    "hub export of SigLIP MAP-pool trunks is not implemented "
-                    "(timm AttentionPoolLatent layout); use orbax checkpoints"
-                )
+            pool = vis["attn_pool"]  # MAP-pool ('latent') rejected above
             put("visual.attn_pool.query", pool["query"])
             put_ln("visual.attn_pool.ln_q", pool["ln_q"])
             put_ln("visual.attn_pool.ln_k", pool["ln_k"])
@@ -333,6 +336,22 @@ def export_torch_state_dict(
     return sd
 
 
+def _vision_layout_from_config(model_config: dict) -> str:
+    """Resolve export_torch_state_dict's vision_layout from a model config.
+
+    'auto' tree sniffing cannot distinguish EVA02-E / EVA01-g (plain-MLP
+    blocks) from a native ViT, but their reference-loadable torch layout is
+    the fused-qkv `visual.trunk.*` one — the timm name in the config is the
+    authoritative signal.
+    """
+    tname = (model_config.get("vision_cfg") or {}).get("timm_model_name") or ""
+    if tname.startswith("eva_giant") or tname.startswith("eva02_enormous"):
+        return "timm_eva02_postnorm"
+    if tname.startswith("eva02_"):
+        return "timm_eva02"
+    return "auto"
+
+
 def save_for_hf(
     params: dict,
     model_config: dict,
@@ -341,11 +360,19 @@ def save_for_hf(
     preprocess_cfg: Optional[dict] = None,
     scan_layers: bool = True,
     batch_stats: Optional[dict] = None,
+    vision_layout: Optional[str] = None,
 ):
     """Write weights + open_clip_config.json (+ tokenizer) to a directory
     (reference push_to_hf_hub.py:60-105)."""
     os.makedirs(save_directory, exist_ok=True)
-    sd = export_torch_state_dict(params, scan_layers=scan_layers, batch_stats=batch_stats)
+    if vision_layout is None:
+        vision_layout = _vision_layout_from_config(model_config)
+    sd = export_torch_state_dict(
+        params,
+        scan_layers=scan_layers,
+        batch_stats=batch_stats,
+        vision_layout=vision_layout,
+    )
     try:
         from safetensors.numpy import save_file
 

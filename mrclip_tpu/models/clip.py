@@ -159,6 +159,27 @@ _TIMM_VIT_DIMS = {
 _TIMM_VIT_MLP_RATIO = {"so400m": 4304 / 1152}
 
 
+def timm_vision_depth(tname: Optional[str]) -> int:
+    """Transformer depth of a supported timm vision-tower name (0 for conv
+    towers / unknown names). Used by the factory's scan/unroll heuristic so
+    that e.g. 40-layer eva_giant and 64-layer eva02_enormous stay scanned."""
+    import re as _re
+
+    if not tname:
+        return 0
+    if tname.startswith("convnext"):
+        return 0
+    if tname.startswith("eva_giant"):
+        return 40
+    m = _re.match(r"eva02_(base|large|enormous)_", tname)
+    if m:
+        return {"base": 12, "large": 24, "enormous": 64}[m.group(1)]
+    m = _re.match(r"vit_([a-z0-9]+)_patch", tname)
+    if m and m.group(1) in _TIMM_VIT_DIMS:
+        return _TIMM_VIT_DIMS[m.group(1)][1]
+    return 0
+
+
 def _build_timm_vit_tower(
     embed_dim, vision_cfg, dtype, scan_layers, remat, remat_policy, attn_impl,
     name, act=gelu_exact,
@@ -231,6 +252,7 @@ def _build_timm_vit_tower(
             patch_bias=True,
             no_ln_pre=True,
             pool_type="tok",
+            attn_zero_k_bias=True,  # timm eva.py: k_bias is a zeros buffer
             ln_eps=1e-6,  # timm Eva norm_layer eps (r3 fix: was torch-default 1e-5)
             drop_path=vision_cfg.timm_drop_path or 0.0,
             act=act,
@@ -281,6 +303,7 @@ def _build_timm_vit_tower(
             mlp_type="mlp" if enormous else "swiglu",
             mlp_norm=not enormous,
             attn_inner_norm=not enormous,
+            attn_zero_k_bias=True,  # timm eva.py: k_bias is a zeros buffer
             post_norm_blocks=enormous,
             ln_eps=1e-6,
             drop_path=vision_cfg.timm_drop_path or 0.0,
@@ -341,6 +364,11 @@ def _build_timm_vit_tower(
                 f"SigLIP tower '{tname}' with timm_proj=none needs "
                 f"embed_dim == width ({width}), got {embed_dim}"
             )
+        if act is gelu_exact:
+            # timm siglip model defs bake act_layer='gelu_tanh' (big_vision
+            # nn.gelu default); only an explicit quick-gelu/act_kwargs
+            # override should deviate.
+            act = gelu_tanh
         return VisionTransformer(
             image_size=vision_cfg.image_size or res,
             patch_size=patch,
@@ -355,6 +383,7 @@ def _build_timm_vit_tower(
             pool_type=pool,
             drop_path=vision_cfg.timm_drop_path or 0.0,
             act=act,
+            ln_eps=1e-6,  # timm ViT default norm_layer eps (big_vision)
             attn_impl=attn_impl,
             scan_layers=scan_layers,
             remat=remat,
@@ -374,6 +403,10 @@ def _build_timm_vit_tower(
         pool_type="avg" if vision_cfg.timm_pool == "avg" else "tok",
         drop_path=vision_cfg.timm_drop_path or 0.0,
         act=act,
+        # timm _clip variants pin norm_layer=nn.LayerNorm (torch 1e-5, the
+        # eps CLIP weights were trained with); every other timm ViT uses
+        # the vision_transformer.py default partial(LayerNorm, eps=1e-6).
+        ln_eps=1e-5 if "_clip" in variant else 1e-6,
         attn_impl=attn_impl,
         scan_layers=scan_layers,
         remat=remat,

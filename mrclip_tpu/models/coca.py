@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .clip import CLIPTextCfg, CLIPVisionCfg, _filter_cfg, build_text_tower, build_vision_tower
-from .layers import LayerNorm, gelu_exact, quick_gelu
+from .layers import LayerNorm, gelu_exact, gelu_tanh, quick_gelu
 from .transformer import ResidualAttentionBlock
 
 Dtype = Any
@@ -97,6 +97,7 @@ class CoCa(nn.Module):
     init_logit_scale: float = math.log(1 / 0.07)
     init_logit_bias: Optional[float] = None
     pad_id: int = 0
+    act_impl: str = "erf"  # 'erf' (torch parity) | 'tanh' (--gelu-approx)
     scan_layers: bool = True
     remat: bool = False
     remat_policy: str = "dots"
@@ -118,12 +119,13 @@ class CoCa(nn.Module):
             output_tokens=True,
         )
 
+        act_sel = True if self.quick_gelu else self.act_impl
         self.text = build_text_tower(
-            self.embed_dim, text_cfg, self.quick_gelu, self.dtype, self.scan_layers,
+            self.embed_dim, text_cfg, act_sel, self.dtype, self.scan_layers,
             self.remat, self.remat_policy, self.attn_impl, name="text"
         )
         self.visual = build_vision_tower(
-            self.embed_dim, vision_cfg, self.quick_gelu, self.dtype, self.scan_layers,
+            self.embed_dim, vision_cfg, act_sel, self.dtype, self.scan_layers,
             self.remat, self.remat_policy, self.attn_impl, name="visual"
         )
         self.text_decoder = MultimodalTransformer(
@@ -134,7 +136,9 @@ class CoCa(nn.Module):
             mlp_ratio=mm_cfg.mlp_ratio,
             ls_init_value=mm_cfg.ls_init_value,
             output_dim=text_cfg.vocab_size,
-            act=quick_gelu if self.quick_gelu else gelu_exact,
+            act=quick_gelu
+            if self.quick_gelu
+            else (gelu_tanh if self.act_impl == "tanh" else gelu_exact),
             dtype=self.dtype,
             name="text_decoder",
         )

@@ -202,6 +202,40 @@ def apply_rope_cat(t: jax.Array, rope: jax.Array, prefix: int) -> jax.Array:
     return jnp.concatenate([t[:, :prefix], y.astype(t.dtype)], axis=1)
 
 
+class ZeroKBiasQKV(nn.Module):
+    """Fused qkv projection whose k-bias third is structurally zero.
+
+    timm `eva.py` registers `k_bias` as a non-trainable zeros buffer (the
+    torch EVA state-dict layout has no k-bias parameter at all), so the
+    fused `in_proj` bias here masks its middle third out of the forward:
+    the k segment receives no gradient, never drifts from zero during
+    fine-tuning, and torch export round-trips losslessly. Param tree
+    matches nn.Dense (`kernel`, `bias`) so importers/sharding rules are
+    unchanged.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        third = self.features // 3
+        mask = jnp.concatenate(
+            [
+                jnp.ones((third,), jnp.float32),
+                jnp.zeros((third,), jnp.float32),
+                jnp.ones((third,), jnp.float32),
+            ]
+        )
+        return x.astype(self.dtype) @ kernel.astype(self.dtype) + (
+            bias * mask
+        ).astype(self.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention with fused QKV projection.
 
@@ -223,6 +257,9 @@ class MultiHeadAttention(nn.Module):
     # EVA02 sub-LN: LayerNorm over the merged heads before out_proj
     # (timm eva.py EvaAttention `scale_attn_inner`).
     inner_norm: bool = False
+    # EVA towers: the in_proj bias's k third is structurally zero
+    # (timm eva.py k_bias buffer) — see ZeroKBiasQKV.
+    zero_k_bias: bool = False
     ln_eps: float = 1e-6  # inner-norm eps (timm Eva default)
     dtype: Dtype = jnp.float32
 
@@ -248,7 +285,12 @@ class MultiHeadAttention(nn.Module):
         assert head_dim * self.num_heads == d
 
         if kv is None:
-            qkv = nn.Dense(3 * d, use_bias=self.use_bias, dtype=self.dtype, name="in_proj")(x)
+            if self.zero_k_bias and self.use_bias:
+                qkv = ZeroKBiasQKV(3 * d, dtype=self.dtype, name="in_proj")(x)
+            else:
+                qkv = nn.Dense(
+                    3 * d, use_bias=self.use_bias, dtype=self.dtype, name="in_proj"
+                )(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             # Cross-attention: separate projections, shared naming with the
@@ -383,6 +425,7 @@ class MAPHead(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
+    ln_eps: float = 1e-6  # timm AttentionPoolLatent norm_layer eps
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -408,5 +451,5 @@ class MAPHead(nn.Module):
         y = y + MLP(
             width=self.width, hidden=int(self.width * self.mlp_ratio),
             act=self.act, dtype=self.dtype, name="mlp",
-        )(LayerNorm(name="norm")(y))
+        )(LayerNorm(epsilon=self.ln_eps, name="norm")(y))
         return y[:, 0]

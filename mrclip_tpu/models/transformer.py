@@ -61,6 +61,7 @@ class ResidualAttentionBlock(nn.Module):
     mlp_type: str = "mlp"  # 'mlp' | 'swiglu'
     mlp_norm: bool = False
     attn_inner_norm: bool = False
+    attn_zero_k_bias: bool = False
     post_norm: bool = False
     dtype: Dtype = jnp.float32
 
@@ -118,6 +119,7 @@ class ResidualAttentionBlock(nn.Module):
                 scale_heads=self.scale_heads,
                 attn_impl=self.attn_impl,
                 inner_norm=self.attn_inner_norm,
+                zero_k_bias=self.attn_zero_k_bias,
                 ln_eps=self.ln_eps,
                 dtype=self.dtype,
                 name="attn",
@@ -209,6 +211,7 @@ class Transformer(nn.Module):
     mlp_type: str = "mlp"
     mlp_norm: bool = False
     attn_inner_norm: bool = False
+    attn_zero_k_bias: bool = False
     post_norm: bool = False
     scan_layers: bool = True
     remat: bool = False
@@ -240,6 +243,7 @@ class Transformer(nn.Module):
             mlp_type=self.mlp_type,
             mlp_norm=self.mlp_norm,
             attn_inner_norm=self.attn_inner_norm,
+            attn_zero_k_bias=self.attn_zero_k_bias,
             post_norm=self.post_norm,
             dtype=self.dtype,
         )

@@ -89,6 +89,7 @@ class VisionTransformer(nn.Module):
     mlp_type: str = "mlp"  # 'mlp' | 'swiglu'
     mlp_norm: bool = False
     attn_inner_norm: bool = False
+    attn_zero_k_bias: bool = False
     post_norm_blocks: bool = False
     attn_impl: str = "xla"
     scan_layers: bool = True
@@ -193,6 +194,7 @@ class VisionTransformer(nn.Module):
             mlp_type=self.mlp_type,
             mlp_norm=self.mlp_norm,
             attn_inner_norm=self.attn_inner_norm,
+            attn_zero_k_bias=self.attn_zero_k_bias,
             post_norm=self.post_norm_blocks,
             dtype=self.dtype,
             name="transformer",
@@ -212,8 +214,8 @@ class VisionTransformer(nn.Module):
             x = LayerNorm(epsilon=self.ln_eps, name="ln_post")(x)
             pooled, tokens = MAPHead(
                 width=self.width, num_heads=self.heads,
-                mlp_ratio=self.mlp_ratio, act=self.act, dtype=self.dtype,
-                name="attn_pool",
+                mlp_ratio=self.mlp_ratio, act=self.act, ln_eps=self.ln_eps,
+                dtype=self.dtype, name="attn_pool",
             )(x), x
         elif self.attentional_pool:
             # Original OpenCLIP CoCa pooling (reference :521-529, :628-645):

@@ -165,7 +165,7 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         ),
         "laion400m_e32": _apcfg(
             url=f"{_GH}/vit_b_16_plus_240-laion400m_e32-699c4b84.pt",
-            hf_hub="timm/vit_base_patch16_plus_clip_240.laion400m_e31/",
+            hf_hub="timm/vit_base_patch16_plus_clip_240.laion400m_e32/",
         ),
     },
     "ViT-B-16": {

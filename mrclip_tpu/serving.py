@@ -46,7 +46,10 @@ class ExportedModel:
     def logits(self, images: np.ndarray, tokens: np.ndarray) -> np.ndarray:
         img = self.encode_image(images)
         txt = self.encode_text(tokens)
-        return self.meta.get("logit_scale", 100.0) * np.asarray(img) @ np.asarray(txt).T
+        return (
+            self.meta.get("logit_scale", 100.0) * np.asarray(img) @ np.asarray(txt).T
+            + self.meta.get("logit_bias", 0.0)
+        )
 
 
 @dataclasses.dataclass
@@ -58,7 +61,10 @@ class ServedModel:
     def logits(self, images: np.ndarray, tokens: np.ndarray) -> np.ndarray:
         img = self.encode_image(images)
         txt = self.encode_text(tokens)
-        return self.meta.get("logit_scale", 100.0) * np.asarray(img) @ np.asarray(txt).T
+        return (
+            self.meta.get("logit_scale", 100.0) * np.asarray(img) @ np.asarray(txt).T
+            + self.meta.get("logit_bias", 0.0)
+        )
 
 
 def export_model(
@@ -100,7 +106,12 @@ def export_model(
     img_spec = jax.ShapeDtypeStruct((b,) + tuple(img_hw) + (3,), jnp.float32)
     tok_spec = jax.ShapeDtypeStruct((b, ctx), jnp.int32)
 
+    # Trainable scale lives in params; frozen scale (logitscaletrainable=False,
+    # reference model.py:254-258) lives in the constants collection.
     scale = variables.get("params", {}).get("logit_scale")
+    if scale is None:
+        scale = variables.get("constants", {}).get("logit_scale")
+    bias = variables.get("params", {}).get("logit_bias")
 
     if int8:
         from .ops.quant import make_quantized_apply, quantize_dense_kernels
@@ -138,6 +149,8 @@ def export_model(
         # name the serve layer must use (HF text towers expect its ids).
         "tokenizer": tokenizer_name or "clip-bpe",
         "logit_scale": float(np.exp(np.asarray(scale))) if scale is not None else 100.0,
+        # SigLIP-style additive bias (0.0 for plain CLIP): logits = s*sim + b.
+        "logit_bias": float(np.asarray(bias)) if bias is not None else 0.0,
     }
     return ExportedModel(exp_img, exp_txt, meta)
 

@@ -38,27 +38,45 @@ from ..parallel import local_batch_to_global
 from .metrics import get_clip_metrics, volume_voting_metrics
 
 
-_normalize_fn = None
+_normalize_fns = {}
 
 
-def _get_normalize():
-    global _normalize_fn
-    if _normalize_fn is None:
+def _mean_std(pp):
+    """(mean, std) tuples from a PreprocessCfg-carrying loader, or None."""
+    if pp is None or getattr(pp, "mean", None) is None:
+        return None
+    return tuple(pp.mean), tuple(pp.std)
+
+
+def _get_normalize(mean_std=None):
+    fn = _normalize_fns.get(mean_std)
+    if fn is None:
+        import functools
+
         from ..ops.image_ops import normalize_images
 
-        _normalize_fn = jax.jit(normalize_images)
-    return _normalize_fn
+        kw = {} if mean_std is None else {"mean": mean_std[0], "std": mean_std[1]}
+        fn = jax.jit(functools.partial(normalize_images, **kw))
+        _normalize_fns[mean_std] = fn
+    return fn
 
 
-def _maybe_preprocess_images(batch: dict, args) -> dict:
+def _maybe_preprocess_images(batch: dict, args, pp=None) -> dict:
     """Native-loader batches arrive as raw uint8 canvases; run the
-    deterministic device-side eval preprocessing (resize/crop/normalize)."""
+    deterministic device-side eval preprocessing (resize/crop/normalize).
+    `pp` is the loader's PreprocessCfg (mean/std of the model family)."""
     imgs = batch.get("images")
     if imgs is not None and imgs.dtype == jnp.uint8:
         size = getattr(args, "image_size", 224)
         if isinstance(size, int):
             size = (size, size)
-        batch = dict(batch, images=eval_preprocess_batch(imgs, out_size=tuple(size)))
+        kw = {}
+        ms = _mean_std(pp)
+        if ms is not None:
+            kw = {"mean": ms[0], "std": ms[1]}
+        batch = dict(
+            batch, images=eval_preprocess_batch(imgs, out_size=tuple(size), **kw)
+        )
     return batch
 
 __all__ = [
@@ -152,8 +170,11 @@ def train_one_epoch(
         if augment_fn is not None:
             batch["images"] = augment_fn(batch["images"], jax.random.fold_in(rng, 2 * i + 1))
         elif batch["images"].dtype == jnp.uint8:
-            # natively-augmented uint8 batch: normalize on device
-            batch["images"] = _get_normalize()(batch["images"])
+            # natively-augmented uint8 batch: normalize on device with the
+            # model family's mean/std (loader carries the PreprocessCfg)
+            batch["images"] = _get_normalize(
+                _mean_std(getattr(loader, "preprocess_cfg", None))
+            )(batch["images"])
         data_time_m.update(time.time() - end)
 
         state, metrics = step_fn(state, batch, jax.random.fold_in(rng, 2 * i))
@@ -265,7 +286,9 @@ def evaluate(
     for batch in loader:
         captions = batch.pop("caption", None)
         device_batch = jax.tree.map(jnp.asarray, {k: v for k, v in batch.items() if not isinstance(v, list)})
-        device_batch = _maybe_preprocess_images(device_batch, args)
+        device_batch = _maybe_preprocess_images(
+            device_batch, args, getattr(loader, "preprocess_cfg", None)
+        )
         out = eval_step(variables, device_batch)
         img_f, txt_f = out["image_features"], out["text_features"]
         scale = float(out["logit_scale"])
@@ -410,7 +433,8 @@ def test_metrics(model, state, data, args, tokenizer=None) -> dict:
     img_feats, img_labels = [], []
     for batch in loader:
         device_imgs = _maybe_preprocess_images(
-            {"images": jnp.asarray(batch["images"])}, args
+            {"images": jnp.asarray(batch["images"])}, args,
+            getattr(loader, "preprocess_cfg", None),
         )["images"]
         img_feats.append(np.asarray(encode_image(variables, device_imgs)))
         img_labels.append(np.asarray(batch["labels"]))
@@ -518,7 +542,9 @@ def get_features(model, state, loader) -> tuple:
         if imgs.dtype == jnp.uint8:
             from ..ops.image_ops import eval_preprocess_batch
 
-            imgs = eval_preprocess_batch(imgs, out_size=imgs.shape[1:3])
+            ms = _mean_std(getattr(loader, "preprocess_cfg", None))
+            kw = {} if ms is None else {"mean": ms[0], "std": ms[1]}
+            imgs = eval_preprocess_batch(imgs, out_size=imgs.shape[1:3], **kw)
         feats.append(np.asarray(encode_image(variables, imgs)))
         labels.append(np.asarray(batch["labels"]))
     return np.concatenate(feats), np.concatenate(labels)
