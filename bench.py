@@ -80,6 +80,12 @@ def main():
     parser.add_argument("--no-scan", action="store_true", help="unroll transformer layers instead of lax.scan")
     parser.add_argument("--precision", type=str, default=None, help="override precision (bf16|pure_bf16|fp32)")
     parser.add_argument("--loss-impl", type=str, default="dense", choices=["dense", "chunked", "pallas"])
+    parser.add_argument(
+        "--loss", type=str, default="multipositive",
+        choices=["multipositive", "clip", "siglip"],
+        help="objective for the train point: multipositive (MR-CLIP default), "
+        "plain InfoNCE, or SigLIP pairwise sigmoid",
+    )
     parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
     parser.add_argument(
         "--attn-impl", type=str, default="bf16",
@@ -172,6 +178,11 @@ def main():
             img_size = img_size[0]
         ctx = mcfg.get("text_cfg", {}).get("context_length", 98)
         steps = args.steps
+    vocab = 49408
+    if not (args.quick or not on_tpu):
+        # SigLIP/i18n configs use 32k/250k sentencepiece vocabs; random ids
+        # must stay in range (JAX clamps OOB gathers silently).
+        vocab = mcfg.get("text_cfg", {}).get("vocab_size", 49408)
 
     attn_impl = args.attn_impl
     model, variables = create_model(
@@ -228,9 +239,10 @@ def main():
         return
 
     class LossArgs:
-        multipositiveloss = True
+        multipositiveloss = args.loss == "multipositive"
+        siglip = args.loss == "siglip"
         delta = 0.5
-        distance = visiononly = siglip = distill = False
+        distance = visiononly = distill = False
         lam = None
         model = model_name
         gather_with_grad = True
@@ -261,7 +273,7 @@ def main():
         prep = lambda b: dict(b, images=normalize_images(b["images"]))
     batch_data = {
         "images": images,
-        "tokens": jnp.asarray(rng.randint(1, 49408, (batch, ctx)), jnp.int32),
+        "tokens": jnp.asarray(rng.randint(1, vocab, (batch, ctx)), jnp.int32),
         "labels": jnp.asarray(rng.randint(0, 32, (batch,)), jnp.int32),
     }
     key = jax.random.key(0)
@@ -338,7 +350,13 @@ def main():
     n_chips = jax.device_count() if on_tpu else 1
     value = pairs_per_sec / n_chips
     result = {
-        "metric": f"image-text pairs/sec/chip ({model_name} multipositive InfoNCE train step)",
+        "metric": f"image-text pairs/sec/chip ({model_name} "
+        + {
+            "multipositive": "multipositive InfoNCE",
+            "clip": "InfoNCE",
+            "siglip": "SigLIP sigmoid",
+        }[args.loss]
+        + " train step)",
         "value": round(value, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3),
