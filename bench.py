@@ -89,12 +89,13 @@ def main():
     parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
     parser.add_argument(
         "--attn-impl", type=str, default="bf16",
-        choices=["xla", "manual", "bf16", "flash"],
+        choices=["xla", "manual", "bf16", "flash", "fused"],
         help="attention kernel. Default bf16: score/prob tensors stored in "
         "the compute dtype (halves attention HBM traffic; measured +9%% at "
         "b80, learnability-validated). xla = fp32 scores "
-        "(strict-parity numerics), flash = Pallas fused kernel "
-        "(no HBM score matrix; long-seq configs)",
+        "(strict-parity numerics), flash = loop-based Pallas flash kernel "
+        "(long-seq configs), fused = single-tile Pallas kernel (whole "
+        "sequence VMEM-resident, no HBM score matrix)",
     )
     parser.add_argument(
         "--gelu-approx", action=argparse.BooleanOptionalAction, default=True,
