@@ -152,6 +152,14 @@ def main(args=None):
     mesh = create_mesh(fsdp=args.mesh_fsdp, tp=args.mesh_tp) if n_dev > 1 else None
     if mesh is not None:
         logging.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        if args.attn_impl in ("flash", "fused"):
+            # pallas_call is opaque to GSPMD: the kernel can't be partitioned
+            # over the mesh. Fail loudly instead of a deep partitioner error.
+            raise ValueError(
+                f"--attn-impl {args.attn_impl} is a single-device Pallas "
+                "kernel and cannot run under a multi-device mesh; use "
+                "'bf16' (same HBM-traffic win, GSPMD-shardable) or 'xla'."
+            )
 
     # remote sync daemon (reference main.py:187-207)
     remote_sync_process = None

@@ -64,6 +64,20 @@ def test_grads_match_xla_attention(n, causal):
         assert float(jnp.abs(a - b).max()) < 1e-4
 
 
+def test_multi_device_mesh_rejects_fused(tmp_path):
+    """pallas_call is GSPMD-opaque: the train CLI must fail loudly, not with
+    a deep partitioner error, when --attn-impl fused meets a device mesh
+    (conftest forces 8 virtual devices)."""
+    from mrclip_tpu.train.main import main as train_main
+
+    with pytest.raises(ValueError, match="single-device Pallas"):
+        train_main([
+            "--dataset-type", "synthetic", "--train-num-samples", "16",
+            "--batch-size", "8", "--epochs", "1", "--model", "ViT-B-32-mini",
+            "--attn-impl", "fused", "--logs", str(tmp_path), "--name", "guard",
+        ])
+
+
 def test_full_model_forward_matches_xla():
     """CLIP forward with attn_impl='fused' == attn_impl='xla'.
 
