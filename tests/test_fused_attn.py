@@ -64,6 +64,19 @@ def test_grads_match_xla_attention(n, causal):
         assert float(jnp.abs(a - b).max()) < 1e-4
 
 
+def test_bf16_inputs_match_bf16_impl():
+    """bf16 compute dtype (the bench config): fused kernel vs the attn-bf16
+    XLA path agree to bf16 resolution."""
+    rng = np.random.RandomState(2)
+    q, k, v = (
+        jnp.asarray(rng.randn(2, 197, 4, 64), jnp.float32).astype(jnp.bfloat16)
+        for _ in range(3)
+    )
+    ref = jax.nn.dot_product_attention(q, k, v)  # fp32 internally, bf16 out
+    out = fused_attention(q, k, v, interpret=True)
+    assert float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()) < 2e-2
+
+
 def test_multi_device_mesh_rejects_fused(tmp_path):
     """pallas_call is GSPMD-opaque: the train CLI must fail loudly, not with
     a deep partitioner error, when --attn-impl fused meets a device mesh
