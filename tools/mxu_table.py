@@ -32,7 +32,7 @@ def categorize(name: str, ident: str) -> str:
         return "optimizer"
     for pat, lab in (
         (r"mlp/|c_fc|c_proj|mlp\.py", "mlp"),
-        (r"attn|in_proj|out_proj|dot_product|softmax|layers\.py", "attn"),
+        (r"attn|in_proj|out_proj|dot_product|softmax|layers\.py|fused_attn|_fwd_kernel|_bwd_kernel", "attn"),
         (r"ln_|layer_norm|norm\.py", "layernorm"),
         (r"conv1", "patchify"),
         (r"token_embedding|embedding", "embed"),
