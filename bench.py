@@ -89,7 +89,7 @@ def main():
     parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
     parser.add_argument(
         "--attn-impl", type=str, default="bf16",
-        choices=["xla", "manual", "bf16", "flash", "fused"],
+        choices=["xla", "manual", "bf16", "flash", "fused", "fusedp"],
         help="attention kernel. Default bf16: score/prob tensors stored in "
         "the compute dtype (halves attention HBM traffic; measured +9%% at "
         "b80, learnability-validated). xla = fp32 scores "

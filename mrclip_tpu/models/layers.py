@@ -334,12 +334,15 @@ class MultiHeadAttention(nn.Module):
             from ..ops.flash_attn import flash_attention_unpadded
 
             out = flash_attention_unpadded(q, k, v, is_causal=is_causal)
-        elif self.attn_impl == "fused" and mask is None:
-            # Single-tile Pallas kernel: the whole (padded) sequence lives in
-            # VMEM, scores never reach HBM (ops/fused_attn.py rationale).
-            from ..ops.fused_attn import fused_attention
+        elif self.attn_impl in ("fused", "fusedp") and mask is None:
+            # Single-tile Pallas kernels: the whole sequence lives in VMEM,
+            # scores never reach HBM (ops/fused_attn.py rationale). 'fused'
+            # pads/transposes to [B*H, Np, D] blocks; 'fusedp' consumes the
+            # natural [B, N, H*D] layout (zero HBM-side copies).
+            from ..ops.fused_attn import fused_attention, fused_attention_packed
 
-            out = fused_attention(q, k, v, is_causal=is_causal)
+            fn = fused_attention if self.attn_impl == "fused" else fused_attention_packed
+            out = fn(q, k, v, is_causal=is_causal)
         elif self.attn_impl in ("manual", "bf16"):
             # Same math as the xla path, with explicit control over what the
             # [B, H, N, N] score tensors are stored as in HBM (the r1 trace

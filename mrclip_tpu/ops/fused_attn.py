@@ -43,7 +43,7 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-__all__ = ["fused_attention"]
+__all__ = ["fused_attention", "fused_attention_packed"]
 
 _LANE = 128
 _NEG = -1e30
@@ -193,6 +193,160 @@ def _core_bwd(n_k, causal, interpret, res, do):
 
 
 _core.defvjp(_core_fwd, _core_bwd)
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads, scale, causal):
+    """Natural-layout variant: blocks are [1, N, H*D] slabs (no HBM-side
+    transpose or pad — Mosaic masks the unaligned sequence edge). Heads are
+    sliced on the lane dim in VMEM; one (batch,) grid program computes all
+    heads of one sample."""
+    n, hd = q_ref.shape[1], q_ref.shape[2]
+    d = hd // heads
+    nk = k_ref.shape[1]
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
+        mask = jnp.where(col > row, jnp.asarray(_NEG, jnp.float32), 0.0)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        lse_ref[0, h, :] = (m + jnp.log(l))[:, 0]
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            (p / l).astype(qh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(qh.dtype)
+
+
+def _packed_bwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dk_ref, dv_ref,
+    *, heads, scale, causal,
+):
+    n, hd = q_ref.shape[1], q_ref.shape[2]
+    d = hd // heads
+    nk = k_ref.shape[1]
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
+        mask = jnp.where(col > row, jnp.asarray(_NEG, jnp.float32), 0.0)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
+        oh, doh = o_ref[0, :, sl], do_ref[0, :, sl]
+        lse = lse_ref[0, h, :]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            s = s + mask
+        p = jnp.exp(s - lse[:, None])
+        pb = p.astype(qh.dtype)
+        dv = jax.lax.dot_general(
+            pb, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
+        ds = (p * (dp - delta[:, None]) * scale).astype(qh.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(qh.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(qh.dtype)
+        dv_ref[0, :, sl] = dv.astype(qh.dtype)
+
+
+def _pspec(n, hd):
+    return pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0), memory_space=_VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _pcore(q, k, v, heads, causal, interpret):
+    o, _ = _pcore_fwd(q, k, v, heads, causal, interpret)
+    return o
+
+
+def _pcore_fwd(q, k, v, heads, causal, interpret):
+    b, n, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
+    kern = functools.partial(
+        _packed_fwd_kernel, heads=heads, scale=1.0 / math.sqrt(d), causal=causal
+    )
+    o, lse = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)],
+        out_specs=(_pspec(n, hd), _pspec(heads, n)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, heads, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, (q, k, v, o, lse)
+
+
+def _pcore_bwd(heads, causal, interpret, res, do):
+    q, k, v, o, lse = res
+    b, n, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
+    kern = functools.partial(
+        _packed_bwd_kernel, heads=heads, scale=1.0 / math.sqrt(d), causal=causal
+    )
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            _pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd),
+            _pspec(n, hd), _pspec(n, hd), _pspec(heads, n),
+        ],
+        out_specs=(_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, nk, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, nk, hd), q.dtype),
+        ),
+        interpret=interpret,
+    )(q, k, v, o, do.astype(q.dtype), lse)
+    return dq, dk, dv
+
+
+_pcore.defvjp(_pcore_fwd, _pcore_bwd)
+
+
+def fused_attention_packed(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, is_causal: bool = False,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Natural-layout fused attention; q, k, v: [B, N, H, D] -> [B, N, H, D].
+
+    Same math as `fused_attention`, but the kernel consumes contiguous
+    [1, N, H*D] slabs of the tensors exactly as the QKV projection produced
+    them — zero HBM-side transpose/pad copies. Mosaic masks the unaligned
+    sequence edge; heads are lane-dim slices relayouted inside VMEM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, h, d = q.shape
+    nk = k.shape[1]
+    o = _pcore(
+        q.reshape(b, n, h * d), k.reshape(b, nk, h * d), v.reshape(b, nk, h * d),
+        h, is_causal, interpret,
+    )
+    return o.reshape(b, n, h, d)
 
 
 def fused_attention(

@@ -152,7 +152,7 @@ def main(args=None):
     mesh = create_mesh(fsdp=args.mesh_fsdp, tp=args.mesh_tp) if n_dev > 1 else None
     if mesh is not None:
         logging.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-        if args.attn_impl in ("flash", "fused"):
+        if args.attn_impl in ("flash", "fused", "fusedp"):
             # pallas_call is opaque to GSPMD: the kernel can't be partitioned
             # over the mesh. Fail loudly instead of a deep partitioner error.
             raise ValueError(

@@ -127,7 +127,7 @@ def parse_args(args=None) -> argparse.Namespace:
         "mlp_only (attention outputs; recompute MLP hiddens), full",
     )
     p.add_argument(
-        "--attn-impl", choices=["xla", "manual", "bf16", "flash", "fused"], default="xla",
+        "--attn-impl", choices=["xla", "manual", "bf16", "flash", "fused", "fusedp"], default="xla",
         help="attention kernel; bf16 = scores stored in compute dtype "
         "(halves attention HBM traffic, ~3 digits on logits); "
         "flash = Pallas fused (single-device, long-seq)",

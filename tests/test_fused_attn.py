@@ -14,9 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mrclip_tpu.ops.fused_attn import fused_attention
+from mrclip_tpu.ops.fused_attn import fused_attention, fused_attention_packed
 
 
+@pytest.mark.parametrize("fn", [fused_attention, fused_attention_packed])
 @pytest.mark.parametrize(
     "b,n,nk,h,causal",
     [
@@ -27,13 +28,13 @@ from mrclip_tpu.ops.fused_attn import fused_attention
         (1, 64, 64, 5, True),      # bh=5: indivisible head groups
     ],
 )
-def test_matches_xla_attention(b, n, nk, h, causal):
+def test_matches_xla_attention(b, n, nk, h, causal, fn):
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(b, n, h, 64), jnp.float32)
     k = jnp.asarray(rng.randn(b, nk, h, 64), jnp.float32)
     v = jnp.asarray(rng.randn(b, nk, h, 64), jnp.float32)
     ref = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
-    out = fused_attention(q, k, v, is_causal=causal, interpret=True)
+    out = fn(q, k, v, is_causal=causal, interpret=True)
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
 
@@ -46,13 +47,18 @@ def test_grads_match_xla_attention(n, causal):
     def loss(fn, q, k, v):
         return (fn(q, k, v) * w).sum()
 
-    g_new = jax.grad(
-        lambda *a: loss(
-            lambda q, k, v: fused_attention(q, k, v, is_causal=causal, interpret=True),
-            *a,
-        ),
-        argnums=(0, 1, 2),
-    )(q, k, v)
+    for impl in (fused_attention, fused_attention_packed):
+        g_new = jax.grad(
+            lambda *a: loss(
+                lambda q, k, v: impl(q, k, v, is_causal=causal, interpret=True),
+                *a,
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        _check_grads(g_new, q, k, v, causal, loss)
+
+
+def _check_grads(g_new, q, k, v, causal, loss):
     g_ref = jax.grad(
         lambda *a: loss(
             lambda q, k, v: jax.nn.dot_product_attention(q, k, v, is_causal=causal),

@@ -29,11 +29,12 @@ run() {
   return 1
 }
 
-# Highest value first: the fused-attention kernel points.
+# Highest value first: the two fused-attention kernel variants head-to-head.
+run --attn-impl fusedp
 run --attn-impl fused
-run --attn-impl fused --batch-size 128
-run --attn-impl fused --batch-size 160
 run  # default confirm after the r3 review fixes
+run --attn-impl fusedp --batch-size 128
+run --attn-impl fusedp --batch-size 160
 # Big-model rows.
 run --model ViT-SO400M-14-SigLIP --precision pure_bf16 --batch-size 16 --remat --opt adafactor --gelu-approx
 run --model EVA02-L-14 --precision pure_bf16 --batch-size 16 --remat --opt adafactor
@@ -43,6 +44,6 @@ run --model ViT-bigG-14 --precision pure_bf16 --batch-size 4 --remat --remat-pol
 run --model EVA02-B-16 --infer --batch-size 256
 run --loss siglip
 run --loss clip
-run --infer --attn-impl fused --batch-size 256
-run --attn-impl fused --trace profiles/r3_fused
+run --infer --attn-impl fusedp --batch-size 256
+run --attn-impl fusedp --trace profiles/r3_fused
 echo "QUEUE DONE" >> "$LOG"
