@@ -83,6 +83,32 @@ def test_bf16_inputs_match_bf16_impl():
     assert float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()) < 2e-2
 
 
+def test_scan_stack_and_remat():
+    """fusedp inside an nn.scan-stacked tower (deep-model path) matches xla,
+    and grads stay finite under jax.checkpoint-over-custom-vjp."""
+    from mrclip_tpu.factory import create_model
+
+    imgs = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    toks = np.random.RandomState(1).randint(1, 100, (2, 32), dtype=np.int32)
+    feats = {}
+    for impl in ("xla", "fusedp"):
+        model, variables = create_model("ViT-B-32-mini", attn_impl=impl, scan_layers=True)
+        out = model.apply(variables, jnp.asarray(imgs), jnp.asarray(toks))
+        feats[impl] = out["image_features"]
+    assert float(jnp.abs(feats["xla"] - feats["fusedp"]).max()) < 1e-4
+
+    model, variables = create_model(
+        "ViT-B-32-mini", attn_impl="fusedp", scan_layers=True, grad_checkpointing=True
+    )
+
+    def loss(p):
+        o = model.apply({**variables, "params": p}, jnp.asarray(imgs), jnp.asarray(toks))
+        return (o["image_features"] ** 2).sum()
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
 def test_multi_device_mesh_rejects_fused(tmp_path):
     """pallas_call is GSPMD-opaque: the train CLI must fail loudly, not with
     a deep partitioner error, when --attn-impl fused meets a device mesh
