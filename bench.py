@@ -65,6 +65,46 @@ def _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div,
     print(f"[mfu] {json.dumps(line)}", file=sys.stderr)
 
 
+def _maybe_rerun_with_retries():
+    """Re-exec the bench in a child process and retry on failure.
+
+    The TPU tunnel flaps (backend-init / remote_compile UNAVAILABLE); a
+    single flap would otherwise lose the whole measurement for a driver
+    that invokes bench.py exactly once. The parent never imports jax, so
+    each attempt gets a fresh backend. Returns an exit code, or None when
+    running as the inner child (or on an explicitly-CPU invocation, where
+    retries only slow tests down).
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("MRCLIP_BENCH_INNER") == "1":
+        return None
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return None
+    attempts = max(1, int(os.environ.get("MRCLIP_BENCH_ATTEMPTS", "3")))
+    if attempts == 1:
+        return None
+    env = dict(os.environ, MRCLIP_BENCH_INNER="1")
+    rc = 1
+    for i in range(attempts):
+        rc = subprocess.run([sys.executable] + sys.argv, env=env).returncode
+        if rc == 0:
+            return 0
+        if i + 1 < attempts:
+            sleep_s = float(os.environ.get("MRCLIP_BENCH_RETRY_SLEEP", "120"))
+            print(
+                f"[bench] attempt {i + 1}/{attempts} failed (rc={rc}); "
+                f"sleeping {sleep_s:.0f}s then retrying (tunnel flap?)",
+                file=sys.stderr,
+            )
+            import time as _time
+
+            _time.sleep(sleep_s)
+    return rc
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="tiny model, few steps (CI)")
@@ -372,4 +412,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _rc = _maybe_rerun_with_retries()
+    if _rc is None:
+        main()
+    else:
+        raise SystemExit(_rc)
