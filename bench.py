@@ -203,6 +203,18 @@ def main():
         model_name = args.model or "ViT-B-32-mini"
         batch = args.batch_size or 16
         img_size, ctx = 64, 32
+        if args.model is not None:
+            # An explicit model must use its config's shapes even in quick
+            # mode: CoCa pos-embeds are sized ctx(+CLS), ConvNeXt stages
+            # assume the config resolution, etc.
+            from mrclip_tpu.factory import get_model_config
+
+            qcfg = get_model_config(model_name) or {}
+            img_size = qcfg.get("vision_cfg", {}).get("image_size", img_size)
+            if not isinstance(img_size, int):
+                img_size = img_size[0]
+            ctx = qcfg.get("text_cfg", {}).get("context_length", ctx)
+            mcfg = qcfg
         steps = min(args.steps, 5)
     else:
         model_name = args.model or "ViT-B-16"
@@ -219,10 +231,10 @@ def main():
             img_size = img_size[0]
         ctx = mcfg.get("text_cfg", {}).get("context_length", 98)
         steps = args.steps
+    # SigLIP/i18n configs use 32k/250k sentencepiece vocabs (coca-mini 1000);
+    # random ids must stay in range (JAX clamps OOB gathers silently).
     vocab = 49408
-    if not (args.quick or not on_tpu):
-        # SigLIP/i18n configs use 32k/250k sentencepiece vocabs; random ids
-        # must stay in range (JAX clamps OOB gathers silently).
+    if args.model is not None or not (args.quick or not on_tpu):
         vocab = mcfg.get("text_cfg", {}).get("vocab_size", 49408)
 
     attn_impl = args.attn_impl
@@ -390,14 +402,19 @@ def main():
     pairs_per_sec = batch * steps / dt
     n_chips = jax.device_count() if on_tpu else 1
     value = pairs_per_sec / n_chips
-    result = {
-        "metric": f"image-text pairs/sec/chip ({model_name} "
-        + {
+    # create_loss dispatches coca models to coca_loss (contrastive +
+    # captioning) ahead of the --loss flag, mirroring the reference factory.
+    loss_desc = (
+        "CoCa contrastive+captioning"
+        if "coca" in model_name.lower()
+        else {
             "multipositive": "multipositive InfoNCE",
             "clip": "InfoNCE",
             "siglip": "SigLIP sigmoid",
         }[args.loss]
-        + " train step)",
+    )
+    result = {
+        "metric": f"image-text pairs/sec/chip ({model_name} {loss_desc} train step)",
         "value": round(value, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3),
