@@ -49,6 +49,34 @@ def test_bench_quick_infer_cli():
     assert rec["value"] > 0
 
 
+def test_bench_retry_wrapper():
+    """Without an explicit-CPU env the bench re-execs itself and retries on
+    failure (tunnel-flap insurance for the driver's single invocation).
+    A bogus flag fails at argparse — before jax is imported — so this
+    exercises the wrapper without touching any backend."""
+    env = {
+        "PATH": "/usr/bin:/bin",
+        "HOME": "/root",
+        "MRCLIP_BENCH_ATTEMPTS": "2",
+        "MRCLIP_BENCH_RETRY_SLEEP": "0",
+    }
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--bogus-flag"],
+        cwd=REPO, capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 2  # argparse exit code propagated
+    assert out.stderr.count("unrecognized arguments") == 2  # both attempts ran
+    assert "[bench] attempt 1/2 failed" in out.stderr
+    # Explicit CPU invocations bypass the wrapper (tests/CI stay fast).
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--bogus-flag"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+        env={**env, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 2
+    assert out.stderr.count("unrecognized arguments") == 1
+
+
 def test_graft_entry_forward():
     import __graft_entry__ as ge
 
