@@ -185,8 +185,11 @@ def main():
     # Honor an explicit platform request: some TPU-plugin environments
     # register themselves ahead of the JAX_PLATFORMS env var, so a caller's
     # `JAX_PLATFORMS=cpu python bench.py` would silently run on the TPU.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # The plugin's sitecustomize injects JAX_PLATFORMS=axon into every
+    # process; that value is not a caller request (see export.py).
+    _envp = os.environ.get("JAX_PLATFORMS")
+    if _envp and _envp.lower() != "axon":
+        jax.config.update("jax_platforms", _envp)
 
     import jax.numpy as jnp
 

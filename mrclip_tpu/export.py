@@ -20,13 +20,18 @@ import argparse
 def main(argv=None) -> str:
     # Honor the caller's JAX_PLATFORMS (same re-assert as bench.py/train
     # main): TPU plugins register themselves ahead of the env var, so
-    # JAX_PLATFORMS=cpu would otherwise silently grab the TPU.
+    # JAX_PLATFORMS=cpu would otherwise silently grab the TPU. The plugin's
+    # own sitecustomize *injects* JAX_PLATFORMS=<plugin> into every process,
+    # so that value is not a caller request — re-asserting it would clobber
+    # an in-process jax.config cpu setting (e.g. the test conftest) and
+    # block on an unreachable TPU backend.
     import os
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    _envp = os.environ.get("JAX_PLATFORMS")
+    if _envp and _envp.lower() != "axon":
+        jax.config.update("jax_platforms", _envp)
     p = argparse.ArgumentParser("mrclip_tpu export")
     p.add_argument("--model", required=True, help="model config name, e.g. ViT-B-16")
     p.add_argument(
@@ -50,6 +55,14 @@ def main(argv=None) -> str:
         "--gelu-approx", action="store_true",
         help="tanh-approximate GELU in the artifact (serving throughput mode)",
     )
+    p.add_argument(
+        "--attn-impl", default="xla",
+        choices=["xla", "manual", "bf16", "fused", "fusedp"],
+        help="attention kernel baked into the artifact. bf16 (scores in the "
+        "compute dtype) is the measured serving-throughput mode with "
+        "--precision bf16; fused/fusedp embed Pallas TPU custom calls — the "
+        "artifact then serves only on TPU",
+    )
     p.add_argument("--output", required=True, help="output .mrclip artifact path")
     args = p.parse_args(argv)
 
@@ -65,6 +78,7 @@ def main(argv=None) -> str:
         pretrained=args.pretrained or args.checkpoint,
         init_params=not (args.pretrained or args.checkpoint),
         gelu_approx=args.gelu_approx,
+        attn_impl=args.attn_impl,
         scan_layers=False,  # unrolled layout: serving default, required for --int8
     )
     exported = export_model(

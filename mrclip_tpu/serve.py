@@ -197,13 +197,16 @@ def make_server(
 def main(argv=None):
     # Honor the caller's JAX_PLATFORMS (same re-assert as bench.py/train
     # main): TPU plugins register themselves ahead of the env var, so
-    # JAX_PLATFORMS=cpu would otherwise silently grab the TPU.
+    # JAX_PLATFORMS=cpu would otherwise silently grab the TPU. The
+    # sitecustomize-injected `axon` value is not a caller request — see
+    # export.py for why it must not be re-asserted.
     import os
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    _envp = os.environ.get("JAX_PLATFORMS")
+    if _envp and _envp.lower() != "axon":
+        jax.config.update("jax_platforms", _envp)
     parser = argparse.ArgumentParser("mrclip_tpu.serve")
     parser.add_argument("--model", required=True, help="path to a .mrclip export")
     parser.add_argument("--host", default="0.0.0.0")

@@ -63,9 +63,13 @@ def main(args=None):
     # Honor the caller's JAX_PLATFORMS (same re-assert as bench.py): TPU
     # plugins may register themselves via jax.config ahead of the env var,
     # so `JAX_PLATFORMS=cpu python -m ...train.main` would otherwise
-    # silently grab the TPU.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # silently grab the TPU. The plugin's sitecustomize injects
+    # JAX_PLATFORMS=axon into every process, so that value is not a caller
+    # request — re-asserting it would clobber an in-process cpu config
+    # (test conftest) and block on an unreachable TPU backend.
+    _envp = os.environ.get("JAX_PLATFORMS")
+    if _envp and _envp.lower() != "axon":
+        jax.config.update("jax_platforms", _envp)
 
     rank, world_size = init_distributed()
     args.rank = rank

@@ -87,6 +87,21 @@ def test_export_cli_roundtrip(tmp_path):
     assert np.asarray(feats).shape == (2, 64)
 
 
+def test_export_cli_attn_bf16(tmp_path):
+    """--attn-impl bf16 --precision bf16 bakes the measured serving-throughput
+    attention mode into the artifact (bench --infer's configuration)."""
+    from mrclip_tpu.export import main as export_main
+
+    out = str(tmp_path / "attn_bf16.mrclip")
+    export_main(["--model", "ViT-B-32-mini", "--output", out,
+                 "--batch-size", "2", "--precision", "bf16",
+                 "--attn-impl", "bf16"])
+    served = load_exported(out)
+    feats = served.encode_image(np.random.rand(2, 64, 64, 3).astype(np.float32))
+    assert np.asarray(feats).shape == (2, 64)
+    assert np.all(np.isfinite(np.asarray(feats, np.float32)))
+
+
 def test_export_symbolic_batch(tmp_path):
     model, variables = create_model("ViT-B-32-mini")
     exported = export_model(model, variables, batch_size=None)
