@@ -16,3 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Pin the backend cache to CPU immediately: if the first backend init were
+# ever triggered under a re-asserted axon platform (sitecustomize injects
+# JAX_PLATFORMS=axon into every process), the test would hang on the TPU
+# tunnel or silently grab the exclusive chip. Initializing here makes the
+# cached backends() dict cpu-only for the whole session.
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()
