@@ -60,8 +60,9 @@ def main(argv=None) -> str:
         choices=["xla", "manual", "bf16", "fused", "fusedp"],
         help="attention kernel baked into the artifact. bf16 (scores in the "
         "compute dtype) is the measured serving-throughput mode with "
-        "--precision bf16; fused/fusedp embed Pallas TPU custom calls — the "
-        "artifact then serves only on TPU",
+        "--precision bf16; fused/fusedp exported on a TPU host embed Pallas "
+        "custom calls (artifact then serves only on TPU); exported on CPU "
+        "they lower through the interpreter to plain portable HLO",
     )
     p.add_argument("--output", required=True, help="output .mrclip artifact path")
     args = p.parse_args(argv)
