@@ -422,9 +422,19 @@ def main():
         "unit": "pairs/sec/chip",
         "vs_baseline": round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3),
     }
-    # Exact CPU-lowered FLOPs bases (tools/flops_count.py) for the flagship
-    # config -> report measured MFU vs the v5e 197 TFLOP/s bf16 peak.
-    _GFLOPS_BASIS = {("ViT-B-16", True): 128.593, ("ViT-B-16", False): 129.134}
+    # Exact CPU-lowered FLOPs bases (tools/flops_count.py, at each model's
+    # measured operating batch; the loss term makes per-pair FLOPs weakly
+    # batch-dependent, <1%) -> report measured MFU vs the v5e 197 TFLOP/s
+    # bf16 peak. Key: (model, gelu_approx).
+    _GFLOPS_BASIS = {
+        ("ViT-B-16", True): 128.593,   # b88
+        ("ViT-B-16", False): 129.134,  # b88
+        ("ViT-B-32", True): 49.340,    # b256
+        ("RN50", True): 57.043,        # b128 (relu tower: flag-invariant)
+        ("RN50", False): 57.043,
+        ("EVA02-B-16", True): 123.681,  # b64
+        ("coca_ViT-B-32", True): 99.693,  # b128
+    }
     basis = _GFLOPS_BASIS.get((model_name, bool(args.gelu_approx)))
     if on_tpu and basis and not args.infer:
         result["mfu_pct"] = round(100.0 * value * basis * 1e9 / 197e12, 1)

@@ -69,14 +69,23 @@ def main():
         chunked_loss = pallas_loss = False
 
     batch = args.batch_size
-    img, ctx = 224, 98
+    # Shapes follow the model config (coca ctx 76, SigLIP squash sizes,
+    # convnext 256px, ...) exactly as bench.py's TPU path does.
+    from mrclip_tpu.factory import get_model_config
+
+    mcfg = get_model_config(args.model) or {}
+    img = mcfg.get("vision_cfg", {}).get("image_size", 224)
+    if not isinstance(img, int):
+        img = img[0]
+    ctx = mcfg.get("text_cfg", {}).get("context_length", 98)
+    vocab = mcfg.get("text_cfg", {}).get("vocab_size", 49408)
     tx = create_optimizer(lr=1e-4, wd=0.2)
     state = create_train_state(variables, tx)
     step = build_train_step(model, make_loss_apply(create_loss(LossArgs())), tx, donate=False)
     rng = np.random.RandomState(0)
     batch_data = {
         "images": jnp.asarray(rng.randint(0, 256, (batch, img, img, 3)), jnp.uint8),
-        "tokens": jnp.asarray(rng.randint(1, 49408, (batch, ctx)), jnp.int32),
+        "tokens": jnp.asarray(rng.randint(1, vocab, (batch, ctx)), jnp.int32),
         "labels": jnp.asarray(rng.randint(0, 32, (batch,)), jnp.int32),
     }
     from mrclip_tpu.ops.image_ops import normalize_images
