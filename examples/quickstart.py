@@ -8,7 +8,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
-if jax.default_backend() != "tpu":
+# Force CPU before any backend initializes: probing jax.default_backend()
+# first would cache (and possibly block on) the accelerator backend and
+# make the cpu override a no-op. Set MRCLIP_EXAMPLE_TPU=1 to run on TPU.
+if not os.environ.get("MRCLIP_EXAMPLE_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
@@ -52,7 +55,10 @@ class Args:
 
 
 loss_fn = oc.create_loss(Args())
-tx = create_optimizer(lr=cosine_lr(2e-3, 10, 150), wd=0.01)
+# 5e-4: 2e-3 overshoots this 2-layer model into the uniform-logits collapse
+# (loss pins at ln(32)); at 5e-4 the loss reaches the multipositive optimum
+# ln(|positives|) ~ 2.08 and R@1 hits 1.0.
+tx = create_optimizer(lr=cosine_lr(5e-4, 10, 150), wd=0.01)
 state = create_train_state(variables, tx)
 step = build_train_step(model, make_loss_apply(loss_fn), tx, donate=False)
 
