@@ -337,8 +337,9 @@ class MultiHeadAttention(nn.Module):
         elif self.attn_impl in ("fused", "fusedp") and mask is None:
             # Single-tile Pallas kernels: the whole sequence lives in VMEM,
             # scores never reach HBM (ops/fused_attn.py rationale). 'fused'
-            # pads/transposes to [B*H, Np, D] blocks; 'fusedp' consumes the
-            # natural [B, N, H*D] layout (zero HBM-side copies).
+            # pads/transposes to [B*H, Np, D] blocks (single-device only);
+            # 'fusedp' consumes the natural [B, N, H*D] layout (zero HBM-side
+            # copies) and is mesh-capable via custom_partitioning.
             from ..ops.fused_attn import fused_attention, fused_attention_packed
 
             fn = fused_attention if self.attn_impl == "fused" else fused_attention_packed

@@ -22,8 +22,14 @@ of step FLOPs) and produces dq/dk/dv in one pass.
 HBM traffic per layer direction: read q,k,v + write o (+lse) ~ 110 MB at
 ViT-B/16 b88 vs ~434 MB for the XLA path's score round-trips.
 
-Single-device only (pallas_call is opaque to GSPMD), selected via
-`attn_impl='fused'`; the multi-chip path keeps XLA attention.
+`attn_impl='fused'` (the [B*H, Np, D] variant) is single-device only:
+pallas_call is opaque to GSPMD and the flattened batch*head dim has no
+clean sharding story. `attn_impl='fusedp'` IS mesh-capable: attention is
+embarrassingly parallel over (batch, heads), so the packed kernels are
+wrapped in `jax.experimental.custom_partitioning` with an einsum sharding
+rule `b n (h d) ...` — the partitioner runs the kernel per shard with the
+local batch slice and local head count (batch over data/fsdp axes, heads
+over the tensor-parallel axis; sequence and head_dim are replicated).
 """
 
 from __future__ import annotations
@@ -34,6 +40,8 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 try:  # pragma: no cover - exercised on TPU/interpret paths
     from jax.experimental.pallas import tpu as pltpu
@@ -277,14 +285,19 @@ def _pcore(q, k, v, heads, causal, interpret):
     return o
 
 
-def _pcore_fwd(q, k, v, heads, causal, interpret):
+def _pfwd_impl(q, k, v, head_dim, causal, interpret):
     b, n, hd = q.shape
     nk = k.shape[1]
-    d = hd // heads
-    kern = functools.partial(
-        _packed_fwd_kernel, heads=heads, scale=1.0 / math.sqrt(d), causal=causal
+    assert hd % head_dim == 0, (
+        f"packed width {hd} is not a whole number of {head_dim}-wide heads "
+        "(is the tensor-parallel axis size a divisor of num_heads?)"
     )
-    o, lse = pl.pallas_call(
+    heads = hd // head_dim
+    kern = functools.partial(
+        _packed_fwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
+        causal=causal,
+    )
+    return pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)],
@@ -295,18 +308,17 @@ def _pcore_fwd(q, k, v, heads, causal, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
-    return o, (q, k, v, o, lse)
 
 
-def _pcore_bwd(heads, causal, interpret, res, do):
-    q, k, v, o, lse = res
+def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret):
     b, n, hd = q.shape
     nk = k.shape[1]
-    d = hd // heads
+    heads = hd // head_dim
     kern = functools.partial(
-        _packed_bwd_kernel, heads=heads, scale=1.0 / math.sqrt(d), causal=causal
+        _packed_bwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
+        causal=causal,
     )
-    dq, dk, dv = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
@@ -320,8 +332,106 @@ def _pcore_bwd(heads, causal, interpret, res, do):
             jax.ShapeDtypeStruct((b, nk, hd), q.dtype),
         ),
         interpret=interpret,
-    )(q, k, v, o, do.astype(q.dtype), lse)
-    return dq, dk, dv
+    )(q, k, v, o, do, lse)
+
+
+# --- GSPMD mesh support for the packed variant --------------------------
+#
+# Attention is independent over (batch, heads): under a dp/fsdp x tp mesh
+# the partitioner may run the kernel per shard with the local batch and the
+# local contiguous head slab ([B, N, H*D] slices on head boundaries).
+# `custom_partitioning` + a shardy einsum rule teaches it that: b and the
+# h half of the packed (h d) dim are free factors, while the sequence dims
+# and head_dim must be replicated. The per-shard lowering recomputes the
+# local head count from the shard's packed width.
+
+def _qkv_lse_shardings(mesh, q_sharding):
+    """q: [B, N, H*D] sharding -> (qkv sharding w/ seq replicated, lse)."""
+    spec = getattr(q_sharding, "spec", P())
+    b_ax = spec[0] if len(spec) > 0 else None
+    hd_ax = spec[2] if len(spec) > 2 else None
+    qkv = NamedSharding(mesh, P(b_ax, None, hd_ax))
+    lse = NamedSharding(mesh, P(b_ax, hd_ax, None))
+    return qkv, lse
+
+
+@functools.lru_cache(maxsize=None)
+def _pfwd_gspmd(head_dim, causal, interpret):
+    fn = custom_partitioning(
+        lambda q, k, v: _pfwd_impl(q, k, v, head_dim, causal, interpret)
+    )
+
+    def partition(mesh, arg_shapes, result_shape):
+        qkv_sh, lse_sh = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+
+        def lower(q, k, v):
+            return _pfwd_impl(q, k, v, head_dim, causal, interpret)
+
+        return mesh, lower, (qkv_sh, lse_sh), (qkv_sh,) * 3
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b n (h d), b m (h d), b m (h d) -> b n (h d), b h n",
+        # shardy wants these sorted by first-appearance factor index
+        need_replication_factors=("n", "d", "m"),
+        d=head_dim,
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _pbwd_gspmd(head_dim, causal, interpret):
+    fn = custom_partitioning(
+        lambda q, k, v, o, do, lse: _pbwd_impl(
+            q, k, v, o, do, lse, head_dim, causal, interpret
+        )
+    )
+
+    def partition(mesh, arg_shapes, result_shape):
+        qkv_sh, lse_sh = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+
+        def lower(q, k, v, o, do, lse):
+            return _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret)
+
+        return mesh, lower, (qkv_sh,) * 3, (qkv_sh,) * 5 + (lse_sh,)
+
+    def infer(mesh, arg_shapes, result_shape):
+        qkv_sh, _ = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+        return (qkv_sh,) * 3
+
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b n (h d), b m (h d), b m (h d), b n (h d), b n (h d), b h n"
+            " -> b n (h d), b m (h d), b m (h d)"
+        ),
+        need_replication_factors=("n", "d", "m"),
+        d=head_dim,
+    )
+    return fn
+
+
+def _pcore_fwd(q, k, v, heads, causal, interpret):
+    head_dim = q.shape[2] // heads
+    if jax.device_count() > 1:
+        o, lse = _pfwd_gspmd(head_dim, causal, interpret)(q, k, v)
+    else:
+        o, lse = _pfwd_impl(q, k, v, head_dim, causal, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _pcore_bwd(heads, causal, interpret, res, do):
+    q, k, v, o, lse = res
+    head_dim = q.shape[2] // heads
+    do = do.astype(q.dtype)
+    if jax.device_count() > 1:
+        return _pbwd_gspmd(head_dim, causal, interpret)(q, k, v, o, do, lse)
+    return _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret)
 
 
 _pcore.defvjp(_pcore_fwd, _pcore_bwd)
@@ -337,6 +447,11 @@ def fused_attention_packed(
     [1, N, H*D] slabs of the tensors exactly as the QKV projection produced
     them — zero HBM-side transpose/pad copies. Mosaic masks the unaligned
     sequence edge; heads are lane-dim slices relayouted inside VMEM.
+
+    Mesh-capable: on multi-device processes the kernels are wrapped in
+    `custom_partitioning`, so under a dp/fsdp x tp mesh each device runs
+    its local batch slice and head slab (tp size must divide num_heads;
+    sequence/head_dim shardings are replicated by the partitioner).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

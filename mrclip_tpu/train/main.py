@@ -156,13 +156,15 @@ def main(args=None):
     mesh = create_mesh(fsdp=args.mesh_fsdp, tp=args.mesh_tp) if n_dev > 1 else None
     if mesh is not None:
         logging.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-        if args.attn_impl in ("flash", "fused", "fusedp"):
-            # pallas_call is opaque to GSPMD: the kernel can't be partitioned
-            # over the mesh. Fail loudly instead of a deep partitioner error.
+        if args.attn_impl in ("flash", "fused"):
+            # These pallas_calls are opaque to GSPMD: the kernel can't be
+            # partitioned over the mesh. Fail loudly instead of a deep
+            # partitioner error. 'fusedp' IS mesh-capable (its kernels carry
+            # custom_partitioning rules — ops/fused_attn.py).
             raise ValueError(
                 f"--attn-impl {args.attn_impl} is a single-device Pallas "
                 "kernel and cannot run under a multi-device mesh; use "
-                "'bf16' (same HBM-traffic win, GSPMD-shardable) or 'xla'."
+                "'fusedp' (mesh-capable fused kernel) or 'bf16'/'xla'."
             )
 
     # remote sync daemon (reference main.py:187-207)

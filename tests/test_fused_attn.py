@@ -140,3 +140,39 @@ def test_full_model_forward_matches_xla():
         feats[impl] = out["image_features"], out["text_features"]
     for a, b in zip(feats["xla"], feats["fused"]):
         assert float(jnp.abs(a - b).max()) < 1e-4
+
+
+def test_fusedp_sharded_matches_unsharded():
+    """fusedp under a dp2 x tp2 GSPMD mesh == unsharded XLA attention, for
+    both the forward value and (dq, dk, dv): the custom_partitioning rules
+    run the kernel per shard with the local batch slice and local head slab
+    (batch over 'data', heads over 'model'), so no collective should touch
+    the math. Grad covers the bwd kernel's own partitioning rule."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mrclip_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = create_mesh(dp=2, tp=2, fsdp=1, devices=jax.devices()[:4])
+
+    b, n, h, d = 4, 33, 4, 32
+    rng = np.random.RandomState(7)
+    q, k, v = (jnp.asarray(rng.randn(b, n, h, d), jnp.float32) for _ in range(3))
+    w = jnp.asarray(rng.randn(d), jnp.float32)
+
+    def loss(q, k, v):
+        return (fused_attention_packed(q, k, v, interpret=True) * w).sum()
+
+    sh = NamedSharding(mesh, P("data", None, "model", None))
+    val_and_grads = jax.jit(
+        jax.value_and_grad(loss, argnums=(0, 1, 2)), in_shardings=(sh, sh, sh)
+    )(q, k, v)
+
+    def ref_loss(q, k, v):
+        return (jax.nn.dot_product_attention(q, k, v) * w).sum()
+
+    ref = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    assert abs(float(val_and_grads[0]) - float(ref[0])) < 1e-2 * abs(float(ref[0]))
+    for got, want in zip(val_and_grads[1], ref[1]):
+        assert float(jnp.abs(got - want).max()) < 1e-4

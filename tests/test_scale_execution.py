@@ -223,3 +223,28 @@ def test_hf_text_tower_tp_sharded_and_steps():
         state1, {k: jnp.asarray(v) for k, v in batch_np.items()}, jax.random.key(7)
     )
     assert abs(sharded_loss - float(metrics1["loss"])) < 1e-4
+
+
+def test_fusedp_executes_on_mesh():
+    """attn_impl='fusedp' (mesh-capable fused Pallas attention) under the
+    dp2 x fsdp2 x tp2 GSPMD mesh: one executed train step, finite loss, and
+    fp32 equality with attn_impl='xla' — the in_proj tp sharding propagates
+    head-slab shardings into the kernel's custom_partitioning rules."""
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+    batch_np = _batch(64, seed=5)
+    tx = create_optimizer(lr=1e-3, wd=0.1)
+
+    losses = {}
+    for impl in ("xla", "fusedp"):
+        model, variables = create_model(
+            "ViT-B-32-mini", precision="fp32", attn_impl=impl, rng_seed=0
+        )
+        state = create_train_state(variables, tx, mesh)
+        step = build_train_step(
+            model, make_loss_apply(create_loss(Args()), mesh), tx, mesh, donate=False
+        )
+        batch = local_batch_to_global(mesh, batch_np)
+        _, metrics = step(state, batch, jax.random.key(4))
+        losses[impl] = float(metrics["loss"])
+    assert np.isfinite(losses["fusedp"])
+    assert abs(losses["fusedp"] - losses["xla"]) < 1e-4, losses
