@@ -173,7 +173,10 @@ class HFTextEncoder(nn.Module):
         self._hf_width = getattr(hf_config, "hidden_size", None) or hf_config.d_model
 
         d_model = self._hf_width
-        if self.proj_type == "linear" and d_model != self.output_dim:
+        if self.proj_type == "linear":
+            # The reference builds the linear proj even when d_model ==
+            # output_dim (hf_model.py:142-145 — only proj_type=None gets the
+            # identity shortcut), so reference checkpoints carry its weights.
             self.proj = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, name="proj")
         elif self.proj_type == "mlp":
             hidden = (d_model + self.output_dim) // 2
@@ -210,8 +213,18 @@ class HFTextEncoder(nn.Module):
             kwargs["deterministic"] = deterministic
         out = self.hf(input_ids=tokens, attention_mask=mask, **kwargs)
         hidden = out.last_hidden_state if hasattr(out, "last_hidden_state") else out[0]
-        pooled = _pool(hidden, mask, self.pooler_type)
-        if self.proj_type == "linear" and hasattr(self, "proj"):
+        if (
+            self.pooler_type == "cls_pooler"
+            and getattr(out, "pooler_output", None) is not None
+        ):
+            # Reference ClsPooler defaults to use_pooler_output=True
+            # (hf_model.py:64-81): BERT-family towers return the
+            # transformer's tanh pooler head, not the raw CLS state.
+            # Archs without a pooler head (e.g. M2M100) fall through.
+            pooled = out.pooler_output
+        else:
+            pooled = _pool(hidden, mask, self.pooler_type)
+        if self.proj_type == "linear":
             pooled = self.proj(pooled)
         elif self.proj_type == "mlp":
             pooled = self.proj_fc2(gelu_exact(self.proj_fc1(pooled)))

@@ -501,9 +501,20 @@ def download_pretrained_from_url(url: str, cache_dir: Optional[str] = None, sha2
             return target
         warnings.warn(f"{target} exists but the checksum does not match; re-downloading.")
 
-    urllib.request.urlretrieve(url, target)
-    if not ok(target):
-        raise RuntimeError("Model has been downloaded but the SHA256 checksum does not match")
+    # Download to a temp name and rename on success: an interrupted transfer
+    # must not leave a truncated file at `target`, which hash-less entries
+    # (no sha256 in the registry) would accept forever after.
+    tmp = target + ".part"
+    try:
+        urllib.request.urlretrieve(url, tmp)
+        if not ok(tmp):
+            raise RuntimeError(
+                "Model has been downloaded but the SHA256 checksum does not match"
+            )
+        os.replace(tmp, target)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return target
 
 
@@ -518,12 +529,18 @@ def download_pretrained_from_hf(
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("huggingface_hub is required for hf-hub checkpoints") from e
     if filename is None:
+        last_err = None
         for candidate in (HF_SAFE_WEIGHTS_NAME, HF_WEIGHTS_NAME):
             try:
                 return hf_hub_download(model_id, candidate, cache_dir=cache_dir)
-            except Exception:
-                continue
-        raise FileNotFoundError(f"no known weight file in hf hub repo {model_id}")
+            except Exception as e:  # missing entry -> try next; keep cause
+                last_err = e
+        # Chain the real failure: auth/rate-limit/network errors must not
+        # masquerade as "no known weight file".
+        raise FileNotFoundError(
+            f"no known weight file in hf hub repo {model_id} "
+            f"(last error: {type(last_err).__name__}: {last_err})"
+        ) from last_err
     return hf_hub_download(model_id, filename, cache_dir=cache_dir)
 
 

@@ -377,3 +377,50 @@ def test_hf_roberta_position_offset_parity():
         projected = pooled @ w.T
         want = torch.nn.functional.normalize(projected, dim=-1).numpy()
     np.testing.assert_allclose(ours, want, atol=2e-5)
+
+
+def test_hf_bert_cls_pooler_oracle_parity():
+    """cls_pooler on a BERT-family tower must return the transformer's tanh
+    pooler head, not the raw CLS hidden state (reference ClsPooler defaults
+    to use_pooler_output=True, hf_model.py:64-81 + add_pooling_layer at
+    :115,128): a reference-layout checkpoint incl. pooler + linear proj
+    imports and reproduces the torch pooler_output -> proj forward."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel
+
+    from mrclip_tpu.checkpoint import import_torch_state_dict
+
+    text_cfg = dict(TEXT_HF, hf_pooler_type="cls_pooler", hf_proj_type="linear")
+    model = CLIP(embed_dim=16, vision_cfg=VISION_MINI, text_cfg=text_cfg,
+                 scan_layers=False)
+    rng = np.random.RandomState(0)
+    toks = rng.randint(2, 128, (2, 16)).astype(np.int32)
+    toks[1, 9:] = 0  # ragged padding exercises the attention mask
+    toks = jnp.asarray(toks)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = dict(model.init(jax.random.key(0), imgs, toks))
+
+    torch.manual_seed(0)
+    cfg = BertConfig(**{k: v for k, v in TINY_BERT.items() if k != "model_type"})
+    bert = BertModel(cfg, add_pooling_layer=True).eval()
+    w = torch.randn(16, 32) * 0.05
+    sd = {f"text.transformer.{k}": v.numpy() for k, v in bert.state_dict().items()}
+    sd["text.proj.weight"] = w.numpy()
+
+    params = import_torch_state_dict(sd, scan_layers=False, hf_text_cfg=text_cfg)
+    variables["params"] = dict(variables["params"], text=params["text"])
+    ours = np.asarray(model.apply(variables, None, toks)["text_features"], np.float64)
+    ours = ours / np.linalg.norm(ours, axis=-1, keepdims=True)
+
+    t_toks = torch.from_numpy(np.asarray(toks)).long()
+    mask = (t_toks != 0)
+    with torch.no_grad():
+        out = bert(input_ids=t_toks, attention_mask=mask.long())
+        assert out.pooler_output is not None
+        want = torch.nn.functional.normalize(out.pooler_output @ w.T, dim=-1).numpy()
+        raw_cls = torch.nn.functional.normalize(
+            out.last_hidden_state[:, 0] @ w.T, dim=-1
+        ).numpy()
+    np.testing.assert_allclose(ours, want, atol=2e-5)
+    # guard against regressing to the raw CLS state
+    assert np.abs(ours - raw_cls).max() > 1e-3
