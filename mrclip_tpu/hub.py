@@ -21,11 +21,13 @@ __all__ = ["export_torch_state_dict", "save_for_hf", "push_to_hf_hub", "generate
 
 def export_torch_state_dict(
     params: dict,
-    scan_layers: bool = True,
     batch_stats: Optional[dict] = None,
     vision_layout: str = "auto",
 ) -> dict:
     """Flax params -> open_clip-style flat torch state dict (numpy values).
+
+    Scan-stacked vs unrolled block layout is auto-detected from the tree
+    ('block' subtree with a leading layer axis vs 'blocks_N' keys).
 
     `batch_stats` supplies BN running stats for BatchNorm towers (RN50
     family); without it the exported running stats fall back to the fresh
@@ -358,7 +360,6 @@ def save_for_hf(
     save_directory: str,
     tokenizer=None,
     preprocess_cfg: Optional[dict] = None,
-    scan_layers: bool = True,
     batch_stats: Optional[dict] = None,
     vision_layout: Optional[str] = None,
 ):
@@ -369,7 +370,6 @@ def save_for_hf(
         vision_layout = _vision_layout_from_config(model_config)
     sd = export_torch_state_dict(
         params,
-        scan_layers=scan_layers,
         batch_stats=batch_stats,
         vision_layout=vision_layout,
     )
@@ -419,6 +419,8 @@ def push_to_hf_hub(
     commit_message: str = "Add model",
     private: bool = False,
     model_card: Optional[dict] = None,
+    batch_stats: Optional[dict] = None,
+    vision_layout: Optional[str] = None,
 ):
     """Create/update a hub repo with the exported model
     (reference push_to_hf_hub.py:108-208)."""
@@ -430,7 +432,10 @@ def push_to_hf_hub(
     api = HfApi()
     api.create_repo(repo_id, private=private, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
-        save_for_hf(params, model_config, tmp, tokenizer, preprocess_cfg)
+        # batch_stats matters for BN towers (RN50): without it the export
+        # falls back to fresh mean=0/var=1 running stats.
+        save_for_hf(params, model_config, tmp, tokenizer, preprocess_cfg,
+                    batch_stats=batch_stats, vision_layout=vision_layout)
         with open(os.path.join(tmp, "README.md"), "w") as f:
             f.write(generate_readme(model_card or {}, repo_id.split("/")[-1]))
         return upload_folder(repo_id=repo_id, folder_path=tmp, commit_message=commit_message)

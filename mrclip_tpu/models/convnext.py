@@ -65,7 +65,7 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype,
             name="conv_dw",
         )(x)
-        x = LayerNorm(name="norm")(x)
+        x = LayerNorm(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
         x = self.act(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
@@ -119,10 +119,10 @@ class ConvNeXt(nn.Module):
             features=self.dims[0], kernel_size=(4, 4), strides=4,
             dtype=self.dtype, name="stem_conv",
         )(x)
-        x = LayerNorm(name="stem_norm")(x)
+        x = LayerNorm(epsilon=1e-6, name="stem_norm")(x)
         for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if s > 0:
-                x = LayerNorm(name=f"downsample_{s}_norm")(x)
+                x = LayerNorm(epsilon=1e-6, name=f"downsample_{s}_norm")(x)
                 x = nn.Conv(
                     features=dim, kernel_size=(2, 2), strides=2,
                     dtype=self.dtype, name=f"downsample_{s}_conv",
@@ -135,7 +135,7 @@ class ConvNeXt(nn.Module):
                 )(x, deterministic)
                 block_idx += 1
         x = jnp.mean(x, axis=(1, 2))  # global average pool (timm 'avg')
-        x = LayerNorm(name="head_norm")(x)
+        x = LayerNorm(epsilon=1e-6, name="head_norm")(x)
         if self.output_dim is not None:
             if self.proj_type == "mlp":
                 x = nn.Dense(2 * self.output_dim, dtype=self.dtype, name="mlp_fc1")(x)

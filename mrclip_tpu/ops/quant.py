@@ -17,11 +17,15 @@ Scheme (standard W8A8 dynamic):
     `acc * (s_x * s_w)` back to the compute dtype.
 
 Only 2D Dense kernels are quantized (attention in/out projections, MLP,
-text/image projections, matmul-patchify). Scan-stacked `[L, in, out]`
-kernels are left in bf16 — quantized serving assumes the unrolled layout,
-which is already the serving/throughput default (`create_model`
-auto-unrolls <=16-layer stacks). LayerNorms, embeddings, biases and the
-attention einsums stay in the compute dtype; those carry ~3% of the FLOPs.
+HF-text dense layers) — where ~95% of the forward FLOPs are. Scan-stacked
+`[L, in, out]` kernels are left in bf16 — quantized serving assumes the
+unrolled layout, which is already the serving/throughput default
+(`create_model` auto-unrolls <=24-layer stacks). The conv-shaped patchify
+kernel ([ph, pw, 3, w] — 4D, fails the 2D walk) and the bare projection
+leaves (`visual/proj`, `text_projection` — raw matmul params, not Dense
+modules the interceptor could swap) stay in the compute dtype, as do
+LayerNorms, biases and the attention einsums. nn.Embed tables get int8
+rows dequantized at the gather (pure weight compression).
 
 Execution uses a Flax method interceptor (`nn.intercept_methods`): Dense
 calls whose module path has a quantized kernel are swapped for the int8

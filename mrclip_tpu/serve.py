@@ -55,39 +55,45 @@ class _Batcher:
         threading.Thread(target=self._worker, daemon=True).start()
 
     def __call__(self, arr: np.ndarray) -> np.ndarray:
+        arr = np.asarray(arr)
+        if arr.ndim == 0:
+            # Reject in the caller's thread: a 0-d payload reaching the
+            # worker would raise outside any future's scope.
+            raise ValueError("payload must be a batch (got a scalar)")
         fut: Future = Future()
-        self.q.put((np.asarray(arr), fut))
+        self.q.put((arr, fut))
         return fut.result()
 
     def _worker(self):
         pending = []  # requests deferred from earlier groups, in order
         while True:
             first = pending.pop(0) if pending else self.q.get()
-            items, deferred = [first], []
-            rows = len(first[0])
-            shape = first[0].shape[1:]
-            deadline = time.monotonic() + self.window_s
-            while rows < self.max_batch:
-                if pending:
-                    nxt = pending.pop(0)
-                else:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    try:
-                        nxt = self.q.get(timeout=remaining)
-                    except queue.Empty:
-                        break
-                # Only coalesce compatible requests: same per-item shape and
-                # within the row cap. Everything else defers to the NEXT
-                # group rather than failing (or bloating) this one.
-                if nxt[0].shape[1:] != shape or rows + len(nxt[0]) > self.max_batch:
-                    deferred.append(nxt)
-                    continue
-                items.append(nxt)
-                rows += len(nxt[0])
-            pending = deferred + pending
+            items = [first]
             try:
+                deferred = []
+                rows = len(first[0])
+                shape = first[0].shape[1:]
+                deadline = time.monotonic() + self.window_s
+                while rows < self.max_batch:
+                    if pending:
+                        nxt = pending.pop(0)
+                    else:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        try:
+                            nxt = self.q.get(timeout=remaining)
+                        except queue.Empty:
+                            break
+                    # Only coalesce compatible requests: same per-item shape
+                    # and within the row cap. Everything else defers to the
+                    # NEXT group rather than failing (or bloating) this one.
+                    if nxt[0].shape[1:] != shape or rows + len(nxt[0]) > self.max_batch:
+                        deferred.append(nxt)
+                        continue
+                    items.append(nxt)
+                    rows += len(nxt[0])
+                pending = deferred + pending
                 if len(items) == 1:
                     out = np.asarray(self.fn(items[0][0]))
                     items[0][1].set_result(out)
@@ -97,7 +103,8 @@ class _Batcher:
                 for arr, fut in items:
                     fut.set_result(out[ofs:ofs + len(arr)])
                     ofs += len(arr)
-            except Exception as e:  # noqa: BLE001 - deliver to every waiter
+            except Exception as e:  # noqa: BLE001 - deliver to every waiter;
+                # the worker thread itself must survive any request.
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
@@ -183,7 +190,12 @@ def make_server(
                 if self.path == "/score":
                     img = np.asarray(enc_img(np.asarray(req["images"], np.float32)))
                     txt = np.asarray(enc_txt(tokenizer(req["texts"])))
-                    logits = served.meta.get("logit_scale", 100.0) * img @ txt.T
+                    # Same formula as ExportedModel.logits — SigLIP artifacts
+                    # carry a real logit_bias in meta (serving.py:153).
+                    logits = (
+                        served.meta.get("logit_scale", 100.0) * img @ txt.T
+                        + served.meta.get("logit_bias", 0.0)
+                    )
                     return self._json(200, {"logits": logits.tolist()})
                 return self._json(404, {"error": "unknown path"})
             except KeyError as e:

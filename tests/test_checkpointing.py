@@ -18,7 +18,7 @@ def test_factory_pretrained_path(tmp_path):
     import torch
 
     _, src_variables = create_model("ViT-B-32-mini", rng_seed=3)
-    sd = export_torch_state_dict(src_variables["params"], scan_layers=False)
+    sd = export_torch_state_dict(src_variables["params"])
     path = str(tmp_path / "weights.pt")
     torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, path)
 

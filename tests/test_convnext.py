@@ -51,7 +51,8 @@ def _tiny_convnext_sd(seed=0):
 
 
 def _torch_convnext_forward(sd, images):
-    """timm ConvNeXt semantics in functional torch (NCHW, LN over C)."""
+    """timm ConvNeXt semantics in functional torch (NCHW, LN over C,
+    eps=1e-6 — the FB/timm ConvNeXt norm_layer default)."""
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
 
@@ -59,7 +60,7 @@ def _torch_convnext_forward(sd, images):
 
     def ln_c(x, prefix):  # LayerNorm over the channel dim of NCHW
         x = x.permute(0, 2, 3, 1)
-        x = F.layer_norm(x, (x.shape[-1],), t(prefix + ".weight"), t(prefix + ".bias"))
+        x = F.layer_norm(x, (x.shape[-1],), t(prefix + ".weight"), t(prefix + ".bias"), eps=1e-6)
         return x.permute(0, 3, 1, 2)
 
     x = torch.tensor(images).permute(0, 3, 1, 2)
@@ -75,13 +76,13 @@ def _torch_convnext_forward(sd, images):
             h = F.conv2d(x, t(p + "conv_dw.weight"), t(p + "conv_dw.bias"),
                          padding=3, groups=dim)
             h = h.permute(0, 2, 3, 1)
-            h = F.layer_norm(h, (dim,), t(p + "norm.weight"), t(p + "norm.bias"))
+            h = F.layer_norm(h, (dim,), t(p + "norm.weight"), t(p + "norm.bias"), eps=1e-6)
             h = F.gelu(F.linear(h, t(p + "mlp.fc1.weight"), t(p + "mlp.fc1.bias")))
             h = F.linear(h, t(p + "mlp.fc2.weight"), t(p + "mlp.fc2.bias"))
             h = h * t(p + "gamma")
             x = x + h.permute(0, 3, 1, 2)
     x = x.mean(dim=(2, 3))
-    x = F.layer_norm(x, (DIMS[-1],), t("head.norm.weight"), t("head.norm.bias"))
+    x = F.layer_norm(x, (DIMS[-1],), t("head.norm.weight"), t("head.norm.bias"), eps=1e-6)
     return x.numpy()
 
 

@@ -311,7 +311,7 @@ def test_eva02_hub_export_round_trip(post_norm):
     vis = timm_vit_to_vision_params(sd, scan_layers=False)
     vis["proj"] = jnp.asarray(head.T)
     out = export_torch_state_dict(
-        {"visual": vis}, scan_layers=False,
+        {"visual": vis},
         vision_layout="timm_eva02_postnorm" if post_norm else "auto",
     )
     want = {f"visual.trunk.{k}": v for k, v in sd.items()}

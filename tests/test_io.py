@@ -27,7 +27,7 @@ from mrclip_tpu.pretrained import (
 def test_export_import_roundtrip():
     _, variables = create_model("ViT-B-32-mini", scan_layers=True)
     params = variables["params"]
-    sd = export_torch_state_dict(params, scan_layers=True)
+    sd = export_torch_state_dict(params)
     assert "visual.conv1.weight" in sd
     assert sd["visual.conv1.weight"].shape[0] == 64  # OIHW
     back = import_torch_state_dict(sd, scan_layers=True)
@@ -45,7 +45,7 @@ def test_export_import_roundtrip():
 def test_export_import_roundtrip_unrolled():
     _, variables = create_model("ViT-B-32-mini", scan_layers=False)
     params = variables["params"]
-    sd = export_torch_state_dict(params, scan_layers=False)
+    sd = export_torch_state_dict(params)
     back = import_torch_state_dict(sd, scan_layers=False)
     flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
     flat_b = dict(
@@ -139,7 +139,7 @@ def test_save_for_hf(tmp_path):
     # buffer of non-contiguous views — every transposed kernel in the
     # export hit this before put() forced contiguity. Verify the FILE
     # round-trips bit-exact, not just the in-memory dict.
-    sd_mem = export_torch_state_dict(variables["params"], scan_layers=True)
+    sd_mem = export_torch_state_dict(variables["params"])
     try:
         from safetensors.numpy import load_file
         sd_disk = load_file(str(tmp_path / "open_clip_model.safetensors"))

@@ -128,7 +128,7 @@ def test_hub_export_siglip_raises_cleanly():
 
     model, variables = create_model("ViT-B-16-SigLIP", init_params=True)
     with pytest.raises(NotImplementedError, match="SigLIP"):
-        export_torch_state_dict(variables["params"], scan_layers=False)
+        export_torch_state_dict(variables["params"])
 
 
 def test_save_for_hf_layout_derivation():

@@ -125,3 +125,47 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/nope", {})
     assert e.value.code == 404
+
+
+def test_batcher_survives_malformed_payload():
+    """A scalar/0-d payload must be rejected in the caller's thread and must
+    NOT kill the worker: subsequent well-formed requests still answer
+    (review fix: the coalescing logic used to run outside the try block, so
+    one bad request hung the endpoint forever)."""
+    from mrclip_tpu.serve import _Batcher
+
+    b = _Batcher(lambda a: a + 1.0, max_batch=4, window_s=0.01)
+    with pytest.raises(ValueError, match="batch"):
+        b(np.float32(5.0))  # 0-d: len() would raise inside the worker
+    # worker is still alive and serving
+    np.testing.assert_allclose(b(np.zeros((2, 3))), np.ones((2, 3)))
+
+
+def test_score_applies_logit_bias(tmp_path):
+    """/score must use the artifact's full formula scale * img @ txt.T +
+    logit_bias (SigLIP exports carry a real bias; review fix: the endpoint
+    re-implemented the formula without the bias term)."""
+    model, variables = create_model("ViT-B-32-mini")
+    path = str(tmp_path / "m.mrclip")
+    save_exported(export_model(model, variables, batch_size=None), path)
+
+    srv = make_server(path, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    imgs = np.random.RandomState(0).rand(1, 64, 64, 3).tolist()
+    try:
+        img_feats = np.asarray(_post(base, "/encode_image", {"images": imgs})["features"])
+        txt_feats = np.asarray(_post(base, "/encode_text", {"texts": ["a"]})["features"])
+        res = np.asarray(_post(base, "/score", {"images": imgs, "texts": ["a"]})["logits"])
+    finally:
+        srv.shutdown()
+    # reconstruct with the artifact meta (bias defaults to 0.0 for CLIP)
+    from mrclip_tpu.serving import load_exported
+
+    meta = load_exported(path).meta
+    want = meta.get("logit_scale", 100.0) * img_feats @ txt_feats.T + meta.get(
+        "logit_bias", 0.0
+    )
+    np.testing.assert_allclose(res, want, rtol=1e-5)
+    assert "logit_bias" in meta  # exports always record the bias term

@@ -174,7 +174,7 @@ def run_jax(sd0, batches, lr, wd, warmup, steps, delta, grad_clip):
         }
         state, metrics = step_fn(state, batch, jax.random.key(i))
         losses.append(float(metrics["loss"]))
-    sd_final = export_torch_state_dict(state.params, scan_layers=False)
+    sd_final = export_torch_state_dict(state.params)
     return losses, sd_final
 
 
@@ -290,7 +290,7 @@ def run_jax_accum(sd0, batches, lr, wd, warmup, steps, delta, grad_clip, accum):
         }
         state, metrics = step_fn(state, big, jax.random.key(i))
         losses.append(float(metrics["loss"]))
-    return losses, export_torch_state_dict(state.params, scan_layers=False)
+    return losses, export_torch_state_dict(state.params)
 
 
 def run_parity_accum(steps=4, batch=6, accum=2, lr=5e-4, wd=0.1, warmup=2,
