@@ -20,7 +20,7 @@ from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import numpy as np
 
-from ..native import augment_batch, augment_matrices, color_jitter_params, load_batch
+from ..native import augment_batch, augment_matrices, color_jitter_params, load_batch, png_size
 from .csv_dataset import extract_times
 
 __all__ = ["NativeBatchLoader"]
@@ -94,6 +94,11 @@ class NativeBatchLoader:
             matrices = augment_matrices(
                 rng, len(paths),
                 crop_scale=tuple(aug.scale) if aug and aug.scale else (0.9, 1.0),
+                ratio=tuple(aug.ratio) if aug and aug.ratio else (3.0 / 4.0, 4.0 / 3.0),
+                # decoded sizes from the PNG headers: crops are sampled in
+                # PIXEL space (absolute aspect range, torchvision semantics)
+                # even for non-square slices
+                src_sizes=[png_size(p) for p in paths],
             )
             sigmas = rng.uniform(0.1, 2.0, len(paths)).astype(np.float32)
             colors = color_jitter_params(
@@ -150,6 +155,8 @@ class NativeBatchLoader:
                     continue
             return False
 
+        error: list = []  # producer exception, re-raised in the consumer
+
         def producer():
             # The C++ loader parallelizes inside one call, so a single
             # producer thread keeps batches in order while decode threads
@@ -158,9 +165,12 @@ class NativeBatchLoader:
                 for idxs in batches:
                     if stop.is_set() or not put_or_stop(self._make_batch(idxs)):
                         break
+            except Exception as e:  # noqa: BLE001 - surfaced to the consumer
+                error.append(e)
             finally:
-                # Always deliver the sentinel (even on decode error) so the
-                # consumer's blocking q.get() can't hang.
+                # Always deliver the sentinel (even on error) so the
+                # consumer's blocking q.get() can't hang; the consumer then
+                # re-raises instead of silently truncating the epoch.
                 put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -169,6 +179,8 @@ class NativeBatchLoader:
             while True:
                 batch = q.get()
                 if batch is None:
+                    if error:
+                        raise error[0]
                     break
                 yield batch
         finally:

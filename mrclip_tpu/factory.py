@@ -383,6 +383,13 @@ def create_model(
             if t_shape is not None and tuple(getattr(new, "shape", ())) != tuple(t_shape):
                 kept_random.append(f"{path} (shape {getattr(new, 'shape', '?')} != {t_shape})")
                 return template
+            # Keep the template's dtype: checkpoints load as fp32 numpy, and
+            # returning them verbatim would silently undo the pure_bf16
+            # param cast (2x param+opt memory — ViT-H/EVA01-g only fit the
+            # chip in pure_bf16).
+            t_dtype = getattr(template, "dtype", None)
+            if t_dtype is not None and getattr(new, "dtype", None) != t_dtype:
+                return jnp.asarray(new, t_dtype)
             return new
 
         # BN towers (RN50 family): the importer returns running stats under
@@ -429,6 +436,14 @@ def create_model_and_transforms(
     model, variables = create_model(model_name, pretrained, precision, **kwargs)
 
     cfg = get_model_config(model_name) or {}
+    # Registry tag preprocessing first (SigLIP/webli = mean/std 0.5 + squash,
+    # CLIPA = imagenet stats + bilinear squash — reference create_model
+    # threads pretrained_cfg into the model's preprocess_cfg, factory.py
+    # set_model_preprocess_cfg), then explicit kwargs override.
+    from .pretrained import get_pretrained_cfg
+
+    tag_pp = get_pretrained_cfg(model_name, pretrained) if pretrained else {}
+    pp_base = merge_preprocess_dict(PreprocessCfg(), tag_pp)
     pp_overlay = {
         "mean": image_mean,
         "std": image_std,
@@ -436,7 +451,7 @@ def create_model_and_transforms(
         "resize_mode": image_resize_mode,
         "size": kwargs.get("force_image_size") or cfg.get("vision_cfg", {}).get("image_size"),
     }
-    pp_cfg = PreprocessCfg(**merge_preprocess_dict(PreprocessCfg(), pp_overlay))
+    pp_cfg = PreprocessCfg(**merge_preprocess_dict(pp_base, pp_overlay))
     train_t = image_transform_v2(pp_cfg, is_train=True, aug_cfg=aug_cfg)
     eval_t = image_transform_v2(pp_cfg, is_train=False)
     return model, variables, train_t, eval_t

@@ -15,7 +15,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "load_batch", "decode_png", "augment_batch", "augment_matrices", "color_jitter_params"]
+__all__ = ["native_available", "load_batch", "decode_png", "augment_batch", "augment_matrices", "color_jitter_params", "png_size"]
 
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets", "libmrclip_native.so")
 _lib = None
@@ -158,6 +158,26 @@ def load_batch(
     return out, status
 
 
+def png_size(path) -> Optional[tuple]:
+    """(width, height) from a PNG's IHDR without decoding, or None.
+
+    24 bytes per file — the page cache makes this ~free next to the decode
+    the native loader does moments later. Used so RandomResizedCrop can be
+    sampled in PIXEL space (torchvision semantics) for non-square sources.
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(24)
+    except OSError:
+        return None
+    if len(head) == 24 and head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+        w = int.from_bytes(head[16:20], "big")
+        h = int.from_bytes(head[20:24], "big")
+        if w > 0 and h > 0:
+            return (w, h)
+    return None
+
+
 def augment_matrices(
     rng: np.random.RandomState,
     n: int,
@@ -167,6 +187,7 @@ def augment_matrices(
     translate=(0.3, 0.3),
     affine_scale=(0.8, 1.2),
     hflip_prob: float = 0.5,
+    src_sizes: Optional[list] = None,
 ) -> np.ndarray:
     """Per-image output->input affine matrices in normalized [0,1] coords.
 
@@ -174,6 +195,13 @@ def augment_matrices(
     reference transform.py:334-347) into one 2x3 matrix per image, consumed
     by the native warp (`mrclip_augment_batch`). Rows: (a, b, tx, c, d, ty)
     with src_x = a*x + b*y + tx, src_y = c*x + d*y + ty.
+
+    `src_sizes`: optional per-image (width, height) of the DECODED source
+    (``png_size``). When given, the resized-crop box is sampled in pixel
+    space with torchvision's 10-attempt loop — exactly the host
+    TrainTransform semantics — so the aspect-ratio range is absolute. The
+    normalized fallback (size unknown) samples the box in [0,1] coords,
+    where `ratio` is relative to the source's own aspect.
     """
     out = np.empty((n, 6), np.float32)
     for i in range(n):
@@ -195,13 +223,34 @@ def augment_matrices(
             m_flip = np.eye(2)
             off_flip = np.zeros(2)
 
-        # RandomResizedCrop (crop space -> input space), normalized box
-        area = rng.uniform(*crop_scale)
-        aspect = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
-        cw = min(1.0, np.sqrt(area * aspect))
-        ch = min(1.0, np.sqrt(area / aspect))
-        x0 = rng.uniform(0.0, 1.0 - cw) if cw < 1.0 else 0.0
-        y0 = rng.uniform(0.0, 1.0 - ch) if ch < 1.0 else 0.0
+        # RandomResizedCrop (crop space -> input space)
+        size = src_sizes[i] if src_sizes is not None else None
+        if size is not None:
+            # pixel-space sampling (torchvision RandomResizedCrop, matching
+            # transforms.TrainTransform._random_resized_crop)
+            sw, sh = size
+            for _ in range(10):
+                target_area = sw * sh * rng.uniform(*crop_scale)
+                aspect = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+                cw_px = int(round(np.sqrt(target_area * aspect)))
+                ch_px = int(round(np.sqrt(target_area / aspect)))
+                if 0 < cw_px <= sw and 0 < ch_px <= sh:
+                    x0_px = rng.randint(0, sw - cw_px + 1)
+                    y0_px = rng.randint(0, sh - ch_px + 1)
+                    break
+            else:  # fallback: centered min-square (host fallback semantics)
+                cw_px = ch_px = min(sw, sh)
+                x0_px, y0_px = (sw - cw_px) // 2, (sh - ch_px) // 2
+            cw, ch = cw_px / sw, ch_px / sh
+            x0, y0 = x0_px / sw, y0_px / sh
+        else:
+            # normalized box (source size unknown; ratio is source-relative)
+            area = rng.uniform(*crop_scale)
+            aspect = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+            cw = min(1.0, np.sqrt(area * aspect))
+            ch = min(1.0, np.sqrt(area / aspect))
+            x0 = rng.uniform(0.0, 1.0 - cw) if cw < 1.0 else 0.0
+            y0 = rng.uniform(0.0, 1.0 - ch) if ch < 1.0 else 0.0
         m_crop = np.diag([cw, ch])
         off_crop = np.array([x0, y0])
 

@@ -271,6 +271,7 @@ def random_augment_batch(
     *,
     out_size: Tuple[int, int] = (224, 224),
     crop_scale: Tuple[float, float] = (0.9, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
     degrees: Tuple[float, float] = (-20.0, 20.0),
     translate: Tuple[float, float] = (0.3, 0.3),
     affine_scale: Tuple[float, float] = (0.8, 1.2),
@@ -294,7 +295,7 @@ def random_augment_batch(
     crop_keys = jax.random.split(k_crop, b)
     aff_keys = jax.random.split(k_aff, b)
     crop_m = jax.vmap(
-        lambda k: _random_resized_crop_matrix(k, in_hw, out_size, crop_scale)
+        lambda k: _random_resized_crop_matrix(k, in_hw, out_size, crop_scale, ratio)
     )(crop_keys)
     aff_m = jax.vmap(
         lambda k: _random_affine_matrix(k, out_size, degrees, translate, affine_scale)

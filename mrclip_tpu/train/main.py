@@ -270,6 +270,7 @@ def main(args=None):
                 random_augment_batch,
                 out_size=tuple(size),
                 crop_scale=tuple(aug.scale or (0.9, 1.0)),
+                ratio=tuple(aug.ratio or (3.0 / 4.0, 4.0 / 3.0)),
                 color_jitter=tuple(aug.color_jitter) if aug.color_jitter else None,
                 color_jitter_prob=aug.color_jitter_prob or 0.0,
                 gray_scale_prob=aug.gray_scale_prob or 0.0,

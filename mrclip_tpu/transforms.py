@@ -232,6 +232,22 @@ class ColorJitter:
         return img
 
 
+def _gaussian_blur3_pil(img: Image.Image, sigma: float) -> Image.Image:
+    """torchvision GaussianBlur(kernel_size=3, sigma) on PIL.
+
+    The reference chain uses a 3x3 kernel (transform.py:346) — PIL's
+    ImageFilter.GaussianBlur(radius=sigma) has ~3*sigma support and blurs
+    far more at sigma near 2, so a Kernel filter with the exact 3-tap
+    weights (w = exp(-0.5/sigma^2), normalized) keeps the host backend
+    aligned with ops/image_ops._gaussian_blur3 and native/loader.cc blur3.
+    (Border handling differs by one pixel: PIL replicates edges only for
+    interior-adjacent taps.)"""
+    w = float(np.exp(-0.5 / (sigma * sigma)))
+    k1 = np.array([w, 1.0, w]) / (1.0 + 2.0 * w)
+    k2 = np.outer(k1, k1).reshape(-1)
+    return img.filter(ImageFilter.Kernel((3, 3), tuple(k2), scale=1.0))
+
+
 def _to_grayscale3(img: Image.Image) -> Image.Image:
     """torchvision Grayscale(num_output_channels=3) on PIL: L replicated."""
     return img.convert("L").convert("RGB")
@@ -329,7 +345,7 @@ class TrainTransform:
         img = self._random_resized_crop(img)
         img = _to_rgb(img)
         img = self._random_affine(img)
-        img = img.filter(ImageFilter.GaussianBlur(radius=random.uniform(0.1, 2.0)))
+        img = _gaussian_blur3_pil(img, random.uniform(0.1, 2.0))
         if random.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         # Optional extras AFTER flip, matching reference order (transform.py:349-357).
