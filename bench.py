@@ -437,7 +437,10 @@ def main():
     }
     basis = _GFLOPS_BASIS.get((model_name, bool(args.gelu_approx)))
     if on_tpu and basis and not args.infer:
-        result["mfu_pct"] = round(100.0 * value * basis * 1e9 / 197e12, 1)
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next((p for s, p in _PEAK_TFLOPS if s in kind), None)
+        if peak is not None:
+            result["mfu_pct"] = round(100.0 * value * basis * 1e9 / (peak * 1e12), 1)
     print(json.dumps(result))
 
 

@@ -184,6 +184,8 @@ def multipositive_clip_loss_vision_only(
     (reference MultiPositiveClipLossVisionOnly, loss copy.py:829-892)."""
     all_img = gather_features(image_features, axis_name, gather_with_grad=gather_with_grad)
     logits = logit_scale * image_features @ all_img.T
+    if constrain is not None:  # keep the B x WB block row-sharded (GSPMD)
+        logits = constrain(logits)
     all_labels = gather_features(labels, axis_name, gather_with_grad=True) if axis_name else labels
     pos_mask = pos_mask_from_labels(labels, all_labels)
     # Zero the self-pair: in local x global layout the "diagonal" sits at
@@ -214,6 +216,8 @@ def multipositive_clip_loss_with_vision(
     )
     all_img = gather_features(image_features, axis_name, gather_with_grad=gather_with_grad)
     logits_ii = logit_scale * image_features @ all_img.T
+    if constrain is not None:  # same row-sharding as the i<->t matrices
+        logits_ii = constrain(logits_ii)
 
     all_labels = gather_features(labels, axis_name, gather_with_grad=True) if axis_name else labels
     pos_mask = pos_mask_from_labels(labels, all_labels)

@@ -129,7 +129,11 @@ def create_train_state(
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        # On a mesh the moments are re-initialized SHARDED below — skip the
+        # eager unsharded init there (a throwaway full fp32 Adam state is a
+        # transient ~2x optimizer memory spike on exactly the large models
+        # the mesh path exists for).
+        opt_state=tx.init(params) if mesh is None else None,
         batch_stats=variables.get("batch_stats"),
         constants=variables.get("constants"),
     )
@@ -302,9 +306,12 @@ def build_train_step(
     Returns `step_fn(state, batch, rng) -> (state, metrics)`.
     """
 
-    def compute_grads(params, state, batch, rng):
+    def compute_grads(params, state, batch, rng, batch_stats=None):
         def loss_fn(params):
             variables = {**state.variables(), "params": params}
+            if batch_stats is not None:
+                # accumulation threads BN running stats through microbatches
+                variables["batch_stats"] = batch_stats
             out, new_mut = _forward(model, variables, batch, rng, train=True)
             if teacher is not None:
                 # Distillation (reference DistillClipLoss + main.py dist_model
@@ -369,19 +376,27 @@ def build_train_step(
             rngs = jax.random.split(rng, accum_freq)
 
             def body(carry, i):
-                grad_sum, loss_sum = carry
-                grads, ldict, _ = compute_grads(state.params, state, micro(i, batch), rngs[i])
+                grad_sum, loss_sum, stats = carry
+                grads, ldict, new_mut = compute_grads(
+                    state.params, state, micro(i, batch), rngs[i], batch_stats=stats
+                )
+                if stats is not None:
+                    stats = new_mut.get("batch_stats", stats)
                 return (
                     jax.tree.map(jnp.add, grad_sum, grads),
                     loss_sum + ldict["loss"],
+                    stats,
                 ), None
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
-            (grad_sum, loss_sum), _ = jax.lax.scan(
-                body, (zero, jnp.float32(0.0)), jnp.arange(accum_freq)
+            (grad_sum, loss_sum, stats), _ = jax.lax.scan(
+                body, (zero, jnp.float32(0.0), state.batch_stats), jnp.arange(accum_freq)
             )
-            grads = jax.tree.map(lambda g: g / accum_freq, grad_sum)
-            return apply_updates(state, grads, {"loss": loss_sum / accum_freq}, {})
+            # SUM, not mean: per-microbatch backwards accumulate unscaled
+            # into .grad in the reference loop before optimizer.step()
+            # (train.py:161-183) — same convention as the cached branch.
+            new_mut = {"batch_stats": stats} if stats is not None else {}
+            return apply_updates(state, grad_sum, {"loss": loss_sum / accum_freq}, new_mut)
 
     else:
         # Reference cached-feature scheme (train.py:134-183): pass 1 caches
@@ -397,23 +412,28 @@ def build_train_step(
             rngs = jax.random.split(rng, accum_freq)
             variables = state.variables()
 
-            def cache_one(i, _):
-                out, _mut = _forward(model, variables, micro(i), rngs[i], train=True)
-                return (out["image_features"], out["text_features"])
+            def fwd_vars(stats):
+                return dict(variables, batch_stats=stats) if stats is not None else variables
 
-            def cache_scan(carry, i):
-                return carry, cache_one(i, None)
+            # BN running stats update on EVERY train-mode forward in the
+            # reference (both the no-grad cache pass and the grad pass), so
+            # thread them sequentially through both scans.
+            def cache_scan(stats, i):
+                out, mut = _forward(model, fwd_vars(stats), micro(i), rngs[i], train=True)
+                if stats is not None:
+                    stats = mut.get("batch_stats", stats)
+                return stats, (out["image_features"], out["text_features"])
 
-            _, (img_cache, txt_cache) = jax.lax.scan(
-                cache_scan, None, jnp.arange(accum_freq)
+            stats, (img_cache, txt_cache) = jax.lax.scan(
+                cache_scan, state.batch_stats, jnp.arange(accum_freq)
             )
             img_cache = jax.lax.stop_gradient(img_cache)  # [A, m, D]
             txt_cache = jax.lax.stop_gradient(txt_cache)
 
-            def grads_one(i):
+            def grads_one(i, stats):
                 def loss_fn(params):
-                    vs = {**variables, "params": params}
-                    out, _mut = _forward(model, vs, micro(i), rngs[i], train=True)
+                    vs = {**fwd_vars(stats), "params": params}
+                    out, mut = _forward(model, vs, micro(i), rngs[i], train=True)
                     img = img_cache.at[i].set(out["image_features"])
                     txt = txt_cache.at[i].set(out["text_features"])
                     spliced = dict(
@@ -423,27 +443,30 @@ def build_train_step(
                     )
                     full_batch = batch  # loss uses full labels for pos_mask
                     ldict = loss_apply(spliced, full_batch)
-                    return ldict["loss"], ldict
+                    return ldict["loss"], (ldict, mut)
 
-                (loss, ldict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (loss, (_, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
                 )
-                return grads, loss
+                if stats is not None:
+                    stats = mut.get("batch_stats", stats)
+                return grads, loss, stats
 
             def body(carry, i):
-                grad_sum, loss_sum = carry
-                grads, loss = grads_one(i)
-                return (jax.tree.map(jnp.add, grad_sum, grads), loss_sum + loss), None
+                grad_sum, loss_sum, stats = carry
+                grads, loss, stats = grads_one(i, stats)
+                return (jax.tree.map(jnp.add, grad_sum, grads), loss_sum + loss, stats), None
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
-            (grad_sum, loss_sum), _ = jax.lax.scan(
-                body, (zero, jnp.float32(0.0)), jnp.arange(accum_freq)
+            (grad_sum, loss_sum, stats), _ = jax.lax.scan(
+                body, (zero, jnp.float32(0.0), stats), jnp.arange(accum_freq)
             )
             # Reference semantics: per-microbatch backwards ACCUMULATE (sum)
             # into .grad with no 1/accum_freq scaling before optimizer.step()
             # (train.py:161-183) — matching dynamics requires the sum, not
             # the mean (r3 dynamics-parity finding).
-            return apply_updates(state, grad_sum, {"loss": loss_sum / accum_freq}, {})
+            new_mut = {"batch_stats": stats} if stats is not None else {}
+            return apply_updates(state, grad_sum, {"loss": loss_sum / accum_freq}, new_mut)
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:

@@ -157,14 +157,21 @@ def train_one_epoch(
     prev_metrics = None
     world_size = getattr(args, "world_size", 1)
     profile_dir = getattr(args, "profile_dir", None)
+    # Timeline tracing (the reference has none, SURVEY.md §5): capture a
+    # short window of epoch 0 for xprof/tensorboard. The window adapts to
+    # short epochs so a started trace is always stopped (a dangling trace
+    # runs for the rest of training and never writes its file).
+    trace_start = min(10, max(num_batches - 2, 0))
+    trace_stop = min(trace_start + 5, num_batches - 1)
+    tracing = False
     for i, batch in enumerate(loader):
-        # Timeline tracing (the reference has none, SURVEY.md §5): capture a
-        # 5-step window of epoch 0 for xprof/tensorboard.
-        if profile_dir and epoch == 0:
-            if i == 10:
+        if profile_dir and epoch == 0 and trace_start < trace_stop:
+            if i == trace_start and not tracing:
                 jax.profiler.start_trace(profile_dir)
-            elif i == 15:
+                tracing = True
+            elif i == trace_stop and tracing:
                 jax.profiler.stop_trace()
+                tracing = False
         step = num_batches * epoch + i
         batch = _to_device(batch, mesh, args)
         if augment_fn is not None:
@@ -218,6 +225,8 @@ def train_one_epoch(
             batch_time_m.reset()
             data_time_m.reset()
 
+    if tracing:  # safety: a started trace must always be finalized
+        jax.profiler.stop_trace()
     epoch_metrics = {k: m.avg for k, m in losses_m.items()}
     return state, epoch_metrics
 

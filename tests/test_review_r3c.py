@@ -1,0 +1,120 @@
+"""Regression tests for the third round-3 review batch (train-step core).
+
+- plain microbatch accumulation must SUM gradients (no 1/accum_freq
+  scaling), same convention as the cached-features branch and the
+  reference loop (train.py:161-183);
+- BN running statistics must update under BOTH accumulation modes
+  (they were silently dropped whenever accum_freq > 1);
+- create_train_state on a mesh must not eagerly allocate a throwaway
+  unsharded optimizer state.
+"""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrclip_tpu.factory import create_loss, create_model
+from mrclip_tpu.parallel import (
+    build_train_step,
+    create_train_state,
+    make_loss_apply,
+)
+
+
+class Args:
+    multipositiveloss = True
+    delta = 0.5
+    distance = visiononly = siglip = distill = False
+    lam = None
+    model = "ViT-B-32-mini"
+    gather_with_grad = True
+
+
+def _batch(n, seed=0, ctx=32, vocab=49408, size=64):
+    rng = np.random.RandomState(seed)
+    return {
+        "images": rng.rand(n, size, size, 3).astype(np.float32),
+        "tokens": rng.randint(1, vocab, (n, ctx)).astype(np.int32),
+        "labels": rng.randint(0, 4, (n,)).astype(np.int32),
+    }
+
+
+def test_plain_accum_sums_microbatch_grads():
+    """With SGD(lr=1, no momentum/wd) the param delta IS the gradient:
+    one accum_freq=2 step from p0 must equal the SUM of the two
+    microbatches' gradients at p0 (each measured via its own accum=1
+    step from a fresh p0)."""
+    model, variables = create_model("ViT-B-32-mini", rng_seed=0)
+    tx = optax.sgd(1.0)
+    loss_apply = make_loss_apply(create_loss(Args()))
+    batch = _batch(16, seed=3)
+    key = jax.random.key(0)
+
+    def delta_of(step, b):
+        state = create_train_state(variables, tx)
+        p0 = state.params
+        state2, _ = step(state, b, key)
+        return jax.tree.map(lambda a, c: np.asarray(a) - np.asarray(c), p0, state2.params)
+
+    step_acc = build_train_step(model, loss_apply, tx, accum_freq=2, donate=False)
+    d_acc = delta_of(step_acc, batch)
+
+    step_1 = build_train_step(model, loss_apply, tx, donate=False)
+    micro0 = jax.tree.map(lambda x: x[:8], batch)
+    micro1 = jax.tree.map(lambda x: x[8:], batch)
+    # the accum scan folds rng per microbatch; this model takes no dropout
+    # rngs, so the key difference is irrelevant here
+    d0 = delta_of(step_1, micro0)
+    d1 = delta_of(step_1, micro1)
+
+    got = np.concatenate([x.ravel() for x in jax.tree.leaves(d_acc)])
+    want = np.concatenate([
+        a.ravel() + b.ravel()
+        for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(d1))
+    ])
+    # logit_scale clamp is applied per update; exclude nothing — the clamp
+    # only binds at ln(100), far from init
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    # guard against regressing to the mean: the sum is ~2x the mean
+    assert not np.allclose(got, want / 2.0, rtol=1e-3, atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def rn_mini():
+    from mrclip_tpu.factory import _MODEL_CONFIGS
+
+    _MODEL_CONFIGS["RN50-mini-accum"] = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 64, "layers": [1, 1, 1, 1], "width": 16, "head_width": 16},
+        "text_cfg": {"context_length": 16, "vocab_size": 1000, "width": 32, "heads": 2, "layers": 2},
+    }
+    return create_model("RN50-mini-accum")
+
+
+@pytest.mark.parametrize("cached", [False, True])
+def test_bn_stats_update_under_accum(rn_mini, cached):
+    """BatchNorm running statistics must move on an accum_freq=2 step
+    (they were dropped: new_mut discarded in the scan bodies)."""
+    model, variables = rn_mini
+
+    class A(Args):
+        model = "RN50-mini-accum"
+
+    tx = optax.sgd(1e-3)
+    step = build_train_step(
+        model, make_loss_apply(create_loss(A())), tx,
+        accum_freq=2, cached_features_accum=cached, donate=False,
+    )
+    state = create_train_state(variables, tx)
+    assert state.batch_stats is not None
+    before = jax.tree.map(np.asarray, state.batch_stats)
+    state2, metrics = step(state, _batch(8, seed=1, ctx=16, vocab=1000), jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = max(
+        float(np.abs(a - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state2.batch_stats))
+    )
+    assert moved > 0.0, "BN running stats did not update under accumulation"
