@@ -22,8 +22,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .clip import CLIPTextCfg, CLIPVisionCfg, _filter_cfg, build_text_tower, build_vision_tower
-from .layers import LayerNorm, gelu_exact, gelu_tanh, quick_gelu
+from .clip import (
+    CLIPTextCfg,
+    CLIPVisionCfg,
+    _filter_cfg,
+    _select_act,
+    build_text_tower,
+    build_vision_tower,
+)
+from .layers import LayerNorm, gelu_exact
 from .transformer import ResidualAttentionBlock
 
 Dtype = Any
@@ -136,9 +143,7 @@ class CoCa(nn.Module):
             mlp_ratio=mm_cfg.mlp_ratio,
             ls_init_value=mm_cfg.ls_init_value,
             output_dim=text_cfg.vocab_size,
-            act=quick_gelu
-            if self.quick_gelu
-            else (gelu_tanh if self.act_impl == "tanh" else gelu_exact),
+            act=_select_act(True if self.quick_gelu else self.act_impl),
             dtype=self.dtype,
             name="text_decoder",
         )
@@ -258,6 +263,13 @@ def generate(
     out0 = model.apply(variables, images, None)
     image_latent, image_embs = out0["image_features"], out0["image_embs"]
 
+    if generation_type not in ("beam_search", "top_k", "top_p", "greedy"):
+        # reference coca_model.py:268 raises on unknown generation types;
+        # a silent greedy fallback would misreport sampling as done
+        raise ValueError(
+            f"generation_type has to be one of ['beam_search', 'top_p', "
+            f"'top_k', 'greedy'], got {generation_type!r}"
+        )
     if generation_type == "beam_search":
         return _beam_search(
             model, variables, image_latent, image_embs, b, seq_len,

@@ -22,6 +22,31 @@ from .transformer import Transformer, text_global_pool
 Dtype = Any
 
 
+def build_cls_attn_mask(tokens: jax.Array, pad_id: int) -> jax.Array:
+    """Causal + CLS-pad mask for `embed_cls` towers, additive fp32 [B,1,S,S].
+
+    Exact reference semantics (`build_cls_mask`, transformer.py:784-791 +
+    the additive combination in forward :806): the pad gate applies to the
+    CLS query row ONLY (the torch code top-pads the query dim with True
+    rows), and the key gate is the pad mask right-shifted by one — F.pad's
+    (1, 0) left-pads the key dim, so key 0 is always attendable, key j is
+    gated by text[j-1], and the CLS key itself is gated by the LAST text
+    token (masked whenever the caption is padded). Every other query row
+    sees the plain causal mask.
+    """
+    b, n_text = tokens.shape
+    seq_len = n_text + 1  # + appended CLS
+    causal = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
+    # keys: [True, text != pad] — the reference's left-pad shift
+    keys_ok = jnp.concatenate(
+        [jnp.ones((b, 1), dtype=bool), tokens != pad_id], axis=1
+    )  # [B, S]
+    q_is_cls = jnp.arange(seq_len) == seq_len - 1  # [S]
+    gate = jnp.where(q_is_cls[None, :, None], keys_ok[:, None, :], True)
+    allowed = causal[None] & gate
+    return jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+
+
 class TextTransformer(nn.Module):
     context_length: int = 98
     vocab_size: int = 49408
@@ -81,14 +106,7 @@ class TextTransformer(nn.Module):
         mask = None
         is_causal = not self.no_causal_mask
         if self.embed_cls and is_causal:
-            # Causal mask + padding columns masked out so the CLS (and every
-            # query) never attends to pad tokens (reference `build_cls_mask`
-            # :784-791). Keep additive fp32 bias form for fused attention.
-            causal = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
-            pad_ok = tokens != self.pad_id  # [B, L]
-            pad_ok = jnp.concatenate([pad_ok, jnp.ones((b, 1), dtype=bool)], axis=1)
-            allowed = causal[None] & pad_ok[:, None, :]
-            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+            mask = build_cls_attn_mask(tokens, self.pad_id)
             is_causal = False
 
         x = Transformer(

@@ -75,7 +75,7 @@ def _fwd_kernel(
 
 def _grad_q_kernel(
     scale_ref, q_ref, k_ref, lq_ref, lk_ref, m_ref, s_ref, cnt_ref, gbar_ref,
-    dq_ref, acc,
+    dq_ref, ds_ref, acc, acc_ds,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -83,18 +83,24 @@ def _grad_q_kernel(
     @pl.when(j == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
+        acc_ds[:] = jnp.zeros_like(acc_ds)
 
     scale = scale_ref[0]
-    z = scale * jnp.dot(q_ref[:], k_ref[:].T, preferred_element_type=jnp.float32)
+    qk = jnp.dot(q_ref[:], k_ref[:].T, preferred_element_type=jnp.float32)
+    z = scale * qk
     pos = (lq_ref[:] == lk_ref[:].reshape(1, -1)).astype(jnp.float32)
     p = jnp.exp(z - m_ref[:]) / s_ref[:]
     # dL_i/dz_ij (with the mean over rows folded into gbar = g / N_q)
     coeff = (p - pos / cnt_ref[:]) * gbar_ref[0] * scale
     acc[:] = acc[:] + jnp.dot(coeff, k_ref[:], preferred_element_type=jnp.float32)
+    # dL/dscale contribution: sum_j dL/dz_ij * qk_ij (rowwise; coeff carries
+    # one extra factor of scale from the z->q chain, so divide it back out)
+    acc_ds[:] = acc_ds[:] + jnp.sum(coeff * qk, axis=1, keepdims=True) / scale
 
     @pl.when(j == nj - 1)
     def _():
         dq_ref[:] = acc[:]
+        ds_ref[:] = acc_ds[:]
 
 
 def _grad_k_kernel(
@@ -124,11 +130,25 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _fit_block(n: int, want: int) -> int:
+    """Largest divisor of n that is <= want.
+
+    The grid floor-divides, so a non-dividing block would silently drop the
+    tail rows/keys (and leave output rows unwritten -> NaN). Shrinking to a
+    divisor keeps every shape correct; power-of-two batches keep the full
+    requested block."""
+    b = min(want, n)
+    while n % b:
+        b -= 1
+    return b
+
+
 def _stats(
     q, k, labels_q, labels_k, scale, block_q, block_k, interpret
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     n_q, d = q.shape
     n_k = k.shape[0]
+    assert n_q % block_q == 0 and n_k % block_k == 0, (n_q, block_q, n_k, block_k)
     grid = (n_q // block_q, n_k // block_k)
 
     kernel = pl.pallas_call(
@@ -182,8 +202,8 @@ def pallas_multipositive_loss(
 
 
 def _fwd(q, k, labels_q, labels_k, logit_scale, block_q, block_k, interpret):
-    block_q = min(block_q, q.shape[0])
-    block_k = min(block_k, k.shape[0])
+    block_q = _fit_block(q.shape[0], block_q)
+    block_k = _fit_block(k.shape[0], block_k)
     m, s, pos_sum, pos_cnt = _stats(
         q, k, labels_q, labels_k, logit_scale, block_q, block_k, interpret
     )
@@ -200,8 +220,8 @@ def _bwd(block_q, block_k, interpret, residuals, g):
     q, k, labels_q, labels_k, logit_scale, m, s, cnt = residuals
     n_q, d = q.shape
     n_k = k.shape[0]
-    bq = min(block_q, n_q)
-    bk = min(block_k, n_k)
+    bq = _fit_block(n_q, block_q)
+    bk = _fit_block(n_k, block_k)
     gbar = jnp.asarray([g / n_q], jnp.float32)
     scale_arr = jnp.asarray([logit_scale], jnp.float32)
     common = (
@@ -220,7 +240,7 @@ def _bwd(block_q, block_k, interpret, residuals, g):
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scale
     ]
 
-    dq = pl.pallas_call(
+    dq, ds_rows = pl.pallas_call(
         _grad_q_kernel,
         grid=(n_q // bq, n_k // bk),
         in_specs=row_specs
@@ -234,9 +254,18 @@ def _bwd(block_q, block_k, interpret, residuals, g):
             pl.BlockSpec((bq, 1), lambda i, j: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gbar
         ],
-        out_specs=pl.BlockSpec((bq, d), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_q, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        out_specs=(
+            pl.BlockSpec((bq, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda i, j: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_q, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(*common)
 
@@ -260,7 +289,11 @@ def _bwd(block_q, block_k, interpret, residuals, g):
         interpret=interpret,
     )(*common)
 
-    return dq.astype(q.dtype), dk.astype(k.dtype), None, None, None
+    # logit_scale cotangent: dL/dscale = sum_ij dL/dz_ij * (q_i . k_j)
+    # (gbar — the g/N_q factor — is already folded into ds_rows)
+    dscale = jnp.sum(ds_rows).astype(jnp.asarray(logit_scale).dtype)
+    dscale = dscale.reshape(jnp.shape(logit_scale))
+    return dq.astype(q.dtype), dk.astype(k.dtype), None, None, dscale
 
 
 pallas_multipositive_loss.defvjp(_fwd, _bwd)

@@ -118,3 +118,43 @@ def test_bn_stats_update_under_accum(rn_mini, cached):
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state2.batch_stats))
     )
     assert moved > 0.0, "BN running stats did not update under accumulation"
+
+
+def test_cls_attn_mask_matches_reference_torch_formula():
+    """build_cls_attn_mask must reproduce the reference build_cls_mask +
+    causal combination EXACTLY (transformer.py:784-806): the pad gate
+    applies only to the CLS query row, and the key gate is the pad mask
+    right-shifted by one (F.pad (1,0) left-pads the key dim)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from mrclip_tpu.models.text import build_cls_attn_mask
+
+    pad_id = 0
+    text = torch.tensor([[5, 7, 9, 0, 0], [3, 0, 4, 0, 0]])
+    b, L = text.shape
+    S = L + 1
+
+    # literal reference construction
+    cls_mask = (text != pad_id).unsqueeze(1)
+    cls_mask = F.pad(cls_mask, (1, 0, cls_mask.shape[2], 0), value=True)
+    additive = torch.zeros(cls_mask.shape)
+    additive.masked_fill_(~cls_mask, float("-inf"))
+    causal = torch.full((S, S), float("-inf")).triu_(1)
+    want = (causal[None] + additive).numpy()  # [B, S, S]
+
+    got = np.asarray(build_cls_attn_mask(jnp.asarray(text.numpy()), pad_id))[:, 0]
+    np.testing.assert_array_equal(np.isneginf(got), np.isneginf(want))
+    np.testing.assert_allclose(
+        np.where(np.isneginf(got), 0.0, got), np.where(np.isneginf(want), 0.0, want)
+    )
+
+
+def test_coca_generate_rejects_unknown_type():
+    from mrclip_tpu.factory import create_model
+    from mrclip_tpu.models.coca import generate
+
+    model, variables = create_model("coca-mini")
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="generation_type"):
+        generate(model, variables, imgs, seq_len=8, generation_type="topk")
