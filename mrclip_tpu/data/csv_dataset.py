@@ -141,13 +141,17 @@ class CsvTabularDataset(CsvDataset):
         **kwargs,
     ):
         super().__init__(input_filename, transforms, **kwargs)
-        df = pd.read_csv(input_filename)
+        # Re-read with the SAME parsing the parent used: the default ','
+        # would misparse a tsv into one giant column and silently build
+        # garbage tabular features.
+        df = pd.read_csv(input_filename, sep=kwargs.get("sep", ","))
         feat_cols = [c for c in df.columns if c in self.NUMERIC]
-        cat_cols = [
-            c
-            for c in df.columns
-            if c not in feat_cols + ["filepath", "title", "label"]
+        reserved = [
+            kwargs.get("img_key", "filepath"),
+            kwargs.get("caption_key", "title"),
+            kwargs.get("label_key", "label"),
         ]
+        cat_cols = [c for c in df.columns if c not in feat_cols + reserved]
         mats = []
         self.cat_cardinalities = []
         for c in feat_cols:
@@ -256,6 +260,12 @@ class UniqueLabelSampler:
         queues = {k: list(v) for k, v in groups.items()}
 
         out: List[int] = []
+        # NOTE: like the reference sampler (data.py:640-673), the uniqueness
+        # guarantee weakens at the TAIL of an epoch: when fewer distinct
+        # groups remain than batch_size, the loader's fixed-size chunking
+        # stitches short rounds together and a late batch can repeat a
+        # group (the reference's partial sweep tails concatenate the same
+        # way). Mid-epoch batches are always group-unique.
         while queues:
             keys = list(queues.keys())
             rng.shuffle(keys)

@@ -66,6 +66,10 @@ def expand_urls(urls, weights: Optional[str] = None):
             all_urls.extend(expanded)
             all_weights.extend([float(w) / len(expanded)] * len(expanded))
         return all_urls, all_weights
+    assert weights is None, (
+        "weights require a '::'-joined string of urls (got a list; the "
+        "weight mapping would be silently dropped)"
+    )
     return list(urls), None
 
 
@@ -211,13 +215,22 @@ class ShardedTarDataset:
             n_workers = min(self.num_workers, len(shards))
             done = object()
 
+            errors: list = []
+
             def work(worker_shards):
-                for shard in worker_shards:
-                    for raw in _iter_tar_samples(shard):
-                        sample = decode(raw)
-                        if sample is not None:
-                            q.put(sample)
-                q.put(done)
+                # try/finally: the sentinel must post even on error, or the
+                # consumer's blocking q.get() hangs forever; the error itself
+                # re-raises in the consumer.
+                try:
+                    for shard in worker_shards:
+                        for raw in _iter_tar_samples(shard):
+                            sample = decode(raw)
+                            if sample is not None:
+                                q.put(sample)
+                except Exception as e:  # noqa: BLE001 - surfaced below
+                    errors.append(e)
+                finally:
+                    q.put(done)
 
             threads = [
                 threading.Thread(target=work, args=(shards[w::n_workers],), daemon=True)
@@ -239,6 +252,8 @@ class ShardedTarDataset:
                         yield item
                 else:
                     yield item
+            if errors:
+                raise errors[0]
         else:
             for shard in shards:
                 for raw in _iter_tar_samples(shard):

@@ -71,8 +71,11 @@ def create_scheduler(args, total_steps: int) -> Callable:
     if sched == "const":
         return const_lr(base_lr, warmup, total_steps)
     if sched == "const-cooldown":
-        cooldown_steps = getattr(args, "epochs_cooldown", None)
-        assert cooldown_steps is not None, "const-cooldown requires epochs_cooldown"
+        epochs_cooldown = getattr(args, "epochs_cooldown", None)
+        assert epochs_cooldown is not None, "const-cooldown requires epochs_cooldown"
+        # epochs -> STEPS (reference main.py:450: steps_per_epoch * epochs_cooldown)
+        steps_per_epoch = total_steps // max(getattr(args, "epochs", 1), 1)
+        cooldown_steps = steps_per_epoch * epochs_cooldown
         return const_lr_cooldown(
             base_lr,
             warmup,

@@ -45,8 +45,6 @@ def build_zero_shot_classifier(
     Encodes `len(templates)` prompts per class in batched chunks, means over
     templates, L2-normalizes per class.
     """
-    templates = [t if callable(t) else t for t in templates]
-
     def fill(template, classname):
         return template(classname) if callable(template) else template.format(classname)
 

@@ -158,3 +158,81 @@ def test_coca_generate_rejects_unknown_type():
     imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
     with pytest.raises(ValueError, match="generation_type"):
         generate(model, variables, imgs, seq_len=8, generation_type="topk")
+
+
+def test_const_cooldown_converts_epochs_to_steps():
+    """--epochs-cooldown is an EPOCH count; the schedule must cool down over
+    epochs_cooldown * steps_per_epoch steps (reference main.py:450), not
+    epochs_cooldown steps."""
+    from mrclip_tpu.train.scheduler import create_scheduler
+
+    class A:
+        lr = 1.0
+        lr_scheduler = "const-cooldown"
+        warmup = 0
+        epochs = 10
+        epochs_cooldown = 4
+        lr_cooldown_power = 1.0
+        lr_cooldown_end = 0.0
+
+    total_steps = 1000  # 100 steps/epoch
+    sched = create_scheduler(A(), total_steps)
+    assert float(sched(599)) == 1.0  # before the 400-step cooldown window
+    # linear cooldown over the final 400 steps: step 700 is 25% in
+    np.testing.assert_allclose(float(sched(700)), 0.75, rtol=1e-6)
+    assert float(sched(999)) < 0.01  # (would be 1.0 with the old 4-step tail)
+
+
+def test_tabular_dataset_respects_sep(tmp_path):
+    """CsvTabularDataset must re-read the csv with the caller's separator;
+    the default ',' misparsed tsv files into one giant categorical column."""
+    from mrclip_tpu.data.csv_dataset import CsvTabularDataset
+
+    p = tmp_path / "d.tsv"
+    p.write_text(
+        "filepath\ttitle\tlabel\tEcho Time\tRepetition Time\tScanner\n"
+        "a.png\tcap a\t0\t0.09\t9.0\tGE\n"
+        "b.png\tcap b\t1\t0.10\t8.0\tSiemens\n"
+    )
+    ds = CsvTabularDataset(str(p), sep="\t")
+    # 2 numeric features + 1 categorical (Scanner) = 3 columns
+    assert ds.tabular.shape == (2, 3)
+    np.testing.assert_allclose(ds.tabular[:, 0], [0.09, 0.10])
+
+
+def test_shard_worker_error_surfaces(tmp_path):
+    """A worker thread that raises must not hang the multi-worker tar
+    stream (the done sentinel used to be skipped on error) — the exception
+    re-raises in the consumer."""
+    import tarfile
+
+    from mrclip_tpu.data.shards import ShardedTarDataset
+
+    for s in range(2):
+        with tarfile.open(tmp_path / f"{s}.tar", "w") as tf:
+            for i in range(2):
+                from PIL import Image
+                import io
+
+                buf = io.BytesIO()
+                Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(buf, "png")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"s{s}_{i}.png")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = b"caption"
+                info = tarfile.TarInfo(f"s{s}_{i}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+
+    def bad_transform(img):
+        raise RuntimeError("bad transform")
+
+    ds = ShardedTarDataset(
+        f"{tmp_path}/0.tar::{tmp_path}/1.tar",
+        transform=bad_transform,
+        num_workers=2,
+        shuffle=False,
+    )
+    with pytest.raises(RuntimeError, match="bad transform"):
+        list(ds)
