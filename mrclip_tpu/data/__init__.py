@@ -98,7 +98,17 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
     rank = getattr(args, "rank", 0)
     world_size = getattr(args, "world_size", 1)
     seed = getattr(args, "seed", 0)
+    # Reference accum semantics (train.py:80-160): the effective optimizer
+    # batch is accum_freq * batch_size (N consecutive loader batches). The
+    # TPU train step consumes them as ONE fused batch (build_train_step
+    # reshapes into accum_freq microbatches), so the TRAIN loader chunks at
+    # accum_freq * batch_size and one loader batch == one optimizer step.
+    # Samplers keep rounds of batch_size: each contiguous microbatch slice
+    # equals one sampler round, preserving per-microbatch label uniqueness
+    # exactly like the reference (whose uniqueness is per loader batch).
+    accum = max(getattr(args, "accum_freq", 1), 1) if is_train else 1
     batch_size = args.batch_size
+    loader_batch = batch_size * accum
 
     if is_train and dataset_type == "csv-unique-sampler":
         if getattr(args, "unique3d", False):
@@ -133,7 +143,7 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
             eval_interp = "bicubic"  # 'random' is a train-time-only choice
         loader = NativeBatchLoader(
             dataset,
-            batch_size=batch_size,
+            batch_size=loader_batch,
             sampler=sampler,
             canvas_size=(size, size),
             tokenizer=tokenizer,
@@ -153,7 +163,7 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
 
     loader = DataLoader(
         dataset,
-        batch_size=batch_size,
+        batch_size=loader_batch,
         sampler=sampler,
         num_workers=getattr(args, "workers", 4),
         drop_last=is_train,
@@ -178,9 +188,10 @@ def _build_synthetic(args, transform, tokenizer, is_train: bool):
         shuffle=is_train,
         seed=getattr(args, "seed", 0),
     )
+    accum = max(getattr(args, "accum_freq", 1), 1) if is_train else 1
     loader = DataLoader(
         dataset,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size * accum,  # see get_csv_dataset accum note
         sampler=sampler,
         num_workers=getattr(args, "workers", 4),
         drop_last=is_train,
@@ -203,13 +214,15 @@ def _build_wds(args, path, transform, tokenizer, is_train: bool):
     num_samples, _ = get_dataset_size(path)
     if num_samples is None:
         num_samples = getattr(args, "train_num_samples" if is_train else "val_num_samples", 0) or 0
+    accum = max(getattr(args, "accum_freq", 1), 1) if is_train else 1
+    loader_batch = args.batch_size * accum  # see get_csv_dataset accum note
     loader = DataLoader(
         dataset,
-        batch_size=args.batch_size,
+        batch_size=loader_batch,
         sampler=None,
         num_workers=1,  # iterable dataset: single in-order worker
         drop_last=is_train,
-        length=num_samples // args.batch_size if num_samples else None,
+        length=num_samples // loader_batch if num_samples else None,
     )
     return DataInfo(loader, dataset)
 

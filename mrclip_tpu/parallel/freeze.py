@@ -30,13 +30,6 @@ def _ones_like_mask(params):
     return jax.tree.map(lambda p: np.float32(1.0), params)
 
 
-def _set_subtree(mask, path_keys, value_fn):
-    node = mask
-    for k in path_keys[:-1]:
-        node = node[k]
-    node[path_keys[-1]] = jax.tree.map(value_fn, node[path_keys[-1]])
-
-
 def _layer_mask(leaf, n_layers: int, unlocked_last: int):
     """Per-layer float mask over the stacked [L, ...] leading axis."""
     m = np.zeros((n_layers,), np.float32)

@@ -61,7 +61,12 @@ def cmd_label(args):
             args.output, "labeled_" + os.path.basename(path)
         )
         os.makedirs(args.output, exist_ok=True)
-        pd.DataFrame(rows).drop(columns=["label_key"]).to_csv(out, index=False)
+        # an all-filtered file yields zero rows: the empty frame has no
+        # columns, so drop(columns=...) would KeyError and abort the run
+        frame = pd.DataFrame(rows)
+        if "label_key" in frame.columns:
+            frame = frame.drop(columns=["label_key"])
+        frame.to_csv(out, index=False)
         print(f"{path}: {len(rows)} rows -> {out}")
     with open(os.path.join(args.output, "label_dict.json"), "w") as f:
         json.dump(label_dict, f)

@@ -147,7 +147,8 @@ def train_one_epoch(
     data["train"].set_epoch(epoch)
     loader = data["train"].dataloader
     num_batches = len(loader)
-    sample_digits = math.ceil(math.log(max(num_batches * args.batch_size, 10), 10))
+    epoch_samples = num_batches * args.batch_size * args.accum_freq
+    sample_digits = math.ceil(math.log(max(epoch_samples, 10), 10))
 
     losses_m: Dict[str, AverageMeter] = defaultdict(AverageMeter)
     batch_time_m, data_time_m = AverageMeter(), AverageMeter()
@@ -199,14 +200,14 @@ def train_one_epoch(
             # Sync point before reading wall-clock (logit_scale lives in
             # constants, not params, when frozen via --logitscaletrainable).
             jax.block_until_ready(state.params.get("logit_scale", state.step))
-            num_samples = (i + 1) * args.batch_size
+            num_samples = (i + 1) * args.batch_size * args.accum_freq
             pct = 100.0 * (i + 1) / num_batches
             samples_per_s = args.accum_freq * args.batch_size * world_size / max(batch_time_m.val, 1e-9)
             samples_per_s_per_dev = samples_per_s / max(jax.device_count(), 1)
             loss_val = losses_m["loss"].val if losses_m else float(metrics["loss"])
             lr = float(schedule(step)) if schedule is not None else args.lr
             logging.info(
-                f"Train Epoch: {epoch} [{num_samples:>{sample_digits}}/{num_batches * args.batch_size} ({pct:.0f}%)] "
+                f"Train Epoch: {epoch} [{num_samples:>{sample_digits}}/{epoch_samples} ({pct:.0f}%)] "
                 f"Loss: {loss_val:#.5g} "
                 f"Data (t): {data_time_m.avg:.3f} Batch (t): {batch_time_m.avg:.3f}, "
                 f"{samples_per_s:#g}/s, {samples_per_s_per_dev:#g}/s/dev LR: {lr:5f}"

@@ -170,7 +170,13 @@ def main(args=None):
     # remote sync daemon (reference main.py:187-207)
     remote_sync_process = None
     if args.remote_sync and rank == 0:
-        assert remote_sync(log_base_path, os.path.join(args.remote_sync, args.name), args.remote_sync_protocol)
+        # logged error + hard exit, not a bare assert (reference
+        # main.py:188-195; asserts vanish under python -O)
+        if not remote_sync(
+            log_base_path, os.path.join(args.remote_sync, args.name), args.remote_sync_protocol
+        ):
+            logging.error("Error: remote sync failed. Exiting.")
+            raise SystemExit(1)
         remote_sync_process = start_sync_process(
             args.remote_sync_frequency,
             log_base_path,
@@ -185,7 +191,10 @@ def main(args=None):
     assert len(data), "At least one train or val dataset must be specified."
 
     # optimizer + schedule
-    steps_per_epoch = len(data["train"].dataloader) // args.accum_freq if "train" in data else 0
+    # train loaders chunk at accum_freq * batch_size (data/__init__.py), so
+    # len(dataloader) already counts OPTIMIZER steps (reference main.py:442
+    # divides because its loader yields single microbatches).
+    steps_per_epoch = len(data["train"].dataloader) if "train" in data else 0
     total_steps = steps_per_epoch * args.epochs
     schedule = None if args.skip_scheduler else create_scheduler(args, total_steps)
     mask = build_trainable_mask(variables["params"], args)
@@ -258,7 +267,7 @@ def main(args=None):
 
     augment_fn = None
     if args.device_augment:
-        size = model.vision_cfg["image_size"] if isinstance(model.vision_cfg, dict) else 224
+        size = args.image_size  # already folds in --force-image-size
         if isinstance(size, int):
             size = (size, size)
         aug = AugmentationCfg(**args.aug_cfg) if isinstance(args.aug_cfg, dict) else (

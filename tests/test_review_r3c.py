@@ -236,3 +236,43 @@ def test_shard_worker_error_surfaces(tmp_path):
     )
     with pytest.raises(RuntimeError, match="bad transform"):
         list(ds)
+
+
+def test_train_loader_chunks_at_accum_times_batch(tmp_path):
+    """Reference accum semantics: effective optimizer batch = accum_freq *
+    batch_size. The fused TPU step consumes it as ONE loader batch, so the
+    train loader must chunk at accum_freq * batch_size (and the schedule
+    then ticks once per optimizer step — main.py no longer divides)."""
+    from PIL import Image
+
+    from mrclip_tpu.data import get_data
+
+    rows = ["filepath,title,label"]
+    for i in range(16):
+        p = tmp_path / f"{i}.png"
+        Image.fromarray(np.full((8, 8, 3), i * 15, np.uint8)).save(p)
+        rows.append(f"{p},caption {i % 4},{i % 4}")
+    csv = tmp_path / "train.csv"
+    csv.write_text("\n".join(rows) + "\n")
+
+    class A:
+        train_data = str(csv)
+        val_data = None
+        dataset_type = "csv"
+        batch_size = 4
+        accum_freq = 2
+        workers = 0
+        csv_separator = ","
+        distance = False
+        rank = 0
+        world_size = 1
+        seed = 0
+
+    def transform(img):
+        return np.zeros((8, 8, 3), np.float32)
+
+    data = get_data(A(), (transform, transform), tokenizer=lambda t: np.zeros((len(t), 4), np.int32))
+    loader = data["train"].dataloader
+    assert len(loader) == 2  # 16 samples / (4 * 2) = 2 optimizer steps
+    batch = next(iter(loader))
+    assert batch["images"].shape[0] == 8  # accum_freq * batch_size rows
