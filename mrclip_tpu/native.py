@@ -41,6 +41,7 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,  # out buffer capacity (overflow guard)
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
@@ -66,6 +67,7 @@ def decode_png(data: bytes, channels: int = 3) -> Optional[np.ndarray]:
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
         channels,
         ctypes.byref(w),
         ctypes.byref(h),

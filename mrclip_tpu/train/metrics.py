@@ -88,9 +88,20 @@ def get_clip_metrics(
             for key, val in rank_metrics(logit, gt).items():
                 metrics[f"{name}_{key}"] = val
             if trace and gt_name == "general":
-                order = np.argsort(-logit, axis=1, kind="stable")
+                # top-10 of the first 201 anchors only — argpartition over
+                # those rows, not a second full [N, M] argsort (rank_metrics
+                # already paid the big one)
+                n_tr = min(len(gt), 201)
+                rows = -logit[:n_tr]
+                k = min(10, rows.shape[1])
+                if k < rows.shape[1]:
+                    part = np.argpartition(rows, k - 1, axis=1)[:, :k]
+                    sub = np.take_along_axis(rows, part, axis=1).argsort(axis=1, kind="stable")
+                    order = np.take_along_axis(part, sub, axis=1)
+                else:
+                    order = rows.argsort(axis=1, kind="stable")
                 vocab = {}
-                for i in range(min(len(gt), 201)):
+                for i in range(n_tr):
                     top10 = order[i, :10].tolist()
                     vocab[i] = {
                         "anchor": i,

@@ -16,7 +16,8 @@
 #include <vector>
 
 extern "C" int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
-                                 int out_channels, int* width, int* height);
+                                 long out_capacity, int out_channels,
+                                 int* width, int* height);
 
 namespace {
 
@@ -229,7 +230,8 @@ void mrclip_load_batch(const char** paths, int n, uint8_t* out, int out_h,
         pixels.resize((size_t)pw * ph * channels);
       int w = 0, h = 0;
       int rc = mrclip_png_decode(file_buf.data(), (long)file_buf.size(),
-                                 pixels.data(), channels, &w, &h);
+                                 pixels.data(), (long)pixels.size(), channels,
+                                 &w, &h);
       status[i] = rc;
       if (rc != 0) continue;
       resize_into_canvas(pixels.data(), h, w, channels, dst, out_h, out_w,
@@ -442,7 +444,8 @@ void mrclip_augment_batch(const char** paths, int n, uint8_t* out, int out_h,
         pixels.resize((size_t)pw * ph * channels);
       int w = 0, h = 0;
       int rc = mrclip_png_decode(file_buf.data(), (long)file_buf.size(),
-                                 pixels.data(), channels, &w, &h);
+                                 pixels.data(), (long)pixels.size(), channels,
+                                 &w, &h);
       status[i] = rc;
       if (rc != 0) continue;
 

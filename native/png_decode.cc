@@ -38,8 +38,12 @@ extern "C" {
 // Decode an in-memory PNG. Returns 0 on success. Output is tightly-packed
 // uint8 rows with `out_channels` channels (1 or 3); gray->RGB replication
 // and alpha dropping happen here so Python never touches pixels.
+// `out_capacity` is the writable byte size of `out`: header-declared
+// dimensions are untrusted, so the decoder refuses (-8) rather than
+// overflow the caller's buffer.
 int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
-                      int out_channels, int* width, int* height) {
+                      long out_capacity, int out_channels, int* width,
+                      int* height) {
   if (size < 8 || std::memcmp(data, kPngSig, 8) != 0) return -1;
 
   long pos = 8;
@@ -54,6 +58,7 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
     if (pos + 12 + (long)len > size) return -2;
 
     if (std::memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) return -2;  // truncated IHDR: fields would read OOB
       w = be32(body);
       h = be32(body + 4);
       bit_depth = body[8];
@@ -70,6 +75,11 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
     pos += 12 + len;
   }
   if (w == 0 || h == 0 || idat.empty()) return -4;
+  // Dimension sanity before any allocation: a hostile header must neither
+  // overflow size math / uInt avail_out nor exhaust memory via bad_alloc
+  // (which would unwind through extern "C" into std::terminate).
+  if ((uint64_t)w * h > (uint64_t)1 << 28) return -3;
+  if ((uint64_t)w * h * out_channels > (uint64_t)out_capacity) return -8;
 
   const int in_ch = (color_type == 0) ? 1 : (color_type == 2) ? 3 : (color_type == 4) ? 2 : 4;
   const size_t stride = (size_t)w * in_ch;
@@ -82,8 +92,11 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
   zs.next_out = raw.data();
   zs.avail_out = (uInt)raw.size();
   int zret = inflate(&zs, Z_FINISH);
+  const bool filled = (zs.avail_out == 0);
   inflateEnd(&zs);
-  if (zret != Z_STREAM_END) return -6;
+  // Z_STREAM_END alone is not enough: a complete-but-short zlib stream
+  // would leave zero-initialized rows that silently train as black.
+  if (zret != Z_STREAM_END || !filled) return -6;
 
   // Undo row filters in place (working row layout: filter byte + row bytes).
   std::vector<uint8_t> prev(stride, 0);

@@ -276,3 +276,41 @@ def test_train_loader_chunks_at_accum_times_batch(tmp_path):
     assert len(loader) == 2  # 16 samples / (4 * 2) = 2 optimizer steps
     batch = next(iter(loader))
     assert batch["images"].shape[0] == 8  # accum_freq * batch_size rows
+
+
+def test_png_decode_rejects_hostile_headers(tmp_path):
+    """The native decoder must refuse (not overflow) when the untrusted
+    header declares more pixels than the output buffer holds, and must
+    error (not emit black rows) when the zlib stream is short."""
+    import io
+    import struct
+    import zlib
+
+    from PIL import Image
+
+    from mrclip_tpu.native import decode_png, native_available
+
+    if not native_available():
+        pytest.skip("native lib not built")
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), 7, np.uint8)).save(buf, "png")
+    good = bytearray(buf.getvalue())
+    assert decode_png(bytes(good), 3).shape == (8, 8, 3)
+
+    # corrupt the IHDR dims to something enormous (recompute nothing — the
+    # decoder must bail on capacity before touching pixel data)
+    huge = bytearray(good)
+    struct.pack_into(">II", huge, 16, 50000, 50000)
+    assert decode_png(bytes(huge), 3) is None
+
+    # short zlib stream: declare 8x8 but deflate only one row's bytes
+    def chunk(tag, body):
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    short_raw = b"\x00" + b"\x01" * 24  # 1 row of 8 RGB pixels
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(short_raw)) + chunk(b"IEND", b""))
+    assert decode_png(png, 3) is None
