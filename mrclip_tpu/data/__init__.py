@@ -45,6 +45,23 @@ __all__ = [
 ]
 
 
+def _loader_batch(args, is_train: bool) -> int:
+    """Rows per loader batch. Reference accum semantics (train.py:80-160):
+    the effective optimizer batch is accum_freq * batch_size (N consecutive
+    loader batches). The TPU train step consumes them as ONE fused batch
+    (build_train_step reshapes into accum_freq microbatches), so the TRAIN
+    loader chunks at accum_freq * batch_size and one loader batch == one
+    optimizer step. Samplers keep rounds of batch_size: each contiguous
+    microbatch slice equals one sampler round, preserving per-microbatch
+    label uniqueness exactly like the reference (whose uniqueness is per
+    loader batch). The vision-only step has no accum support (main.py
+    rejects the combination), so it never gets inflated chunks."""
+    accum = max(getattr(args, "accum_freq", 1), 1) if is_train else 1
+    if getattr(args, "visiononly", False) and getattr(args, "multipositiveloss", False):
+        accum = 1  # same gate as train.main's vision_only
+    return args.batch_size * accum
+
+
 @dataclass
 class DataInfo:
     """Loader + sampler bundle (reference data.py:88-100)."""
@@ -98,17 +115,8 @@ def _build_csv(args, path, transform, tokenizer, is_train: bool, epoch: int = 0)
     rank = getattr(args, "rank", 0)
     world_size = getattr(args, "world_size", 1)
     seed = getattr(args, "seed", 0)
-    # Reference accum semantics (train.py:80-160): the effective optimizer
-    # batch is accum_freq * batch_size (N consecutive loader batches). The
-    # TPU train step consumes them as ONE fused batch (build_train_step
-    # reshapes into accum_freq microbatches), so the TRAIN loader chunks at
-    # accum_freq * batch_size and one loader batch == one optimizer step.
-    # Samplers keep rounds of batch_size: each contiguous microbatch slice
-    # equals one sampler round, preserving per-microbatch label uniqueness
-    # exactly like the reference (whose uniqueness is per loader batch).
-    accum = max(getattr(args, "accum_freq", 1), 1) if is_train else 1
     batch_size = args.batch_size
-    loader_batch = batch_size * accum
+    loader_batch = _loader_batch(args, is_train)  # accum chunking, see helper
 
     if is_train and dataset_type == "csv-unique-sampler":
         if getattr(args, "unique3d", False):
@@ -188,10 +196,9 @@ def _build_synthetic(args, transform, tokenizer, is_train: bool):
         shuffle=is_train,
         seed=getattr(args, "seed", 0),
     )
-    accum = max(getattr(args, "accum_freq", 1), 1) if is_train else 1
     loader = DataLoader(
         dataset,
-        batch_size=args.batch_size * accum,  # see get_csv_dataset accum note
+        batch_size=_loader_batch(args, is_train),  # accum chunking, see helper
         sampler=sampler,
         num_workers=getattr(args, "workers", 4),
         drop_last=is_train,
@@ -214,8 +221,7 @@ def _build_wds(args, path, transform, tokenizer, is_train: bool):
     num_samples, _ = get_dataset_size(path)
     if num_samples is None:
         num_samples = getattr(args, "train_num_samples" if is_train else "val_num_samples", 0) or 0
-    accum = max(getattr(args, "accum_freq", 1), 1) if is_train else 1
-    loader_batch = args.batch_size * accum  # see get_csv_dataset accum note
+    loader_batch = _loader_batch(args, is_train)  # accum chunking, see helper
     loader = DataLoader(
         dataset,
         batch_size=loader_batch,

@@ -59,17 +59,23 @@ def expand_urls(urls, weights: Optional[str] = None):
     if isinstance(urls, str):
         urllist = urls.split("::")
         weight_list = weights.split("::") if weights is not None else [1.0] * len(urllist)
-        assert len(weight_list) == len(urllist)
+        if len(weight_list) != len(urllist):
+            raise ValueError(
+                f"got {len(weight_list)} weights for {len(urllist)} url sources"
+            )
         all_urls, all_weights = [], []
         for url, w in zip(urllist, weight_list):
             expanded = _braceexpand(url)
             all_urls.extend(expanded)
             all_weights.extend([float(w) / len(expanded)] * len(expanded))
         return all_urls, all_weights
-    assert weights is None, (
-        "weights require a '::'-joined string of urls (got a list; the "
-        "weight mapping would be silently dropped)"
-    )
+    if weights is not None:
+        # a bare assert would vanish under python -O and silently drop the
+        # weight mapping — the exact failure this guard exists to prevent
+        raise ValueError(
+            "weights require a '::'-joined string of urls (got a list; the "
+            "weight mapping would be silently dropped)"
+        )
     return list(urls), None
 
 

@@ -256,20 +256,20 @@ def generate(
     Mirrors reference `CoCa.generate` (coca_model.py:204-330; beam search
     :331-479). Returns [B, seq_len] token ids, pad-filled after EOT.
     """
+    if generation_type not in ("beam_search", "top_k", "top_p", "greedy"):
+        # reference coca_model.py:268 raises on unknown generation types;
+        # a silent greedy fallback would misreport sampling as done —
+        # validate before paying for the image-tower forward
+        raise ValueError(
+            f"generation_type has to be one of ['beam_search', 'top_p', "
+            f"'top_k', 'greedy'], got {generation_type!r}"
+        )
     if rng is None:
         rng = jax.random.key(0)
     b = images.shape[0]
 
     out0 = model.apply(variables, images, None)
     image_latent, image_embs = out0["image_features"], out0["image_embs"]
-
-    if generation_type not in ("beam_search", "top_k", "top_p", "greedy"):
-        # reference coca_model.py:268 raises on unknown generation types;
-        # a silent greedy fallback would misreport sampling as done
-        raise ValueError(
-            f"generation_type has to be one of ['beam_search', 'top_p', "
-            f"'top_k', 'greedy'], got {generation_type!r}"
-        )
     if generation_type == "beam_search":
         return _beam_search(
             model, variables, image_latent, image_embs, b, seq_len,

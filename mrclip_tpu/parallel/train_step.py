@@ -362,11 +362,16 @@ def build_train_step(
             return apply_updates(state, grads, ldict, new_mut)
 
     elif not cached_features_accum:
-        # Plain microbatch accumulation. Like the cached-feature branch (and
-        # the reference loop, train.py:249-251), microbatch grads are SUMMED
-        # with no 1/accum_freq scaling before the optimizer step — both accum
-        # modes must produce the same effective gradient scale under the same
-        # --accum-freq knob. Only the reported loss is averaged.
+        # Plain microbatch accumulation: microbatch grads are AVERAGED.
+        # Each microbatch loss here normalizes over its own `m` rows, so the
+        # mean of the N microbatch grads has the scale of one effective-batch
+        # mean-loss gradient. (The cached branch below sums UNscaled like the
+        # reference loop, train.py:161-183 — but each of its passes
+        # normalizes over the full accum_freq*m spliced rows and only flows
+        # through its own chunk, so that unscaled sum already IS one
+        # full-batch-mean gradient. Summing here instead would make the step
+        # accum_freq× larger than both the cached mode and a single big
+        # batch under the same LR.)
         def step_fn(state, batch, rng):
             def micro(i, batch):
                 return jax.tree.map(
@@ -392,11 +397,10 @@ def build_train_step(
             (grad_sum, loss_sum, stats), _ = jax.lax.scan(
                 body, (zero, jnp.float32(0.0), state.batch_stats), jnp.arange(accum_freq)
             )
-            # SUM, not mean: per-microbatch backwards accumulate unscaled
-            # into .grad in the reference loop before optimizer.step()
-            # (train.py:161-183) — same convention as the cached branch.
             new_mut = {"batch_stats": stats} if stats is not None else {}
-            return apply_updates(state, grad_sum, {"loss": loss_sum / accum_freq}, new_mut)
+            inv = jnp.float32(1.0 / accum_freq)
+            grad_mean = jax.tree.map(lambda g: g * inv, grad_sum)
+            return apply_updates(state, grad_mean, {"loss": loss_sum / accum_freq}, new_mut)
 
     else:
         # Reference cached-feature scheme (train.py:134-183): pass 1 caches

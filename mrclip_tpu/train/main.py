@@ -312,6 +312,12 @@ def main(args=None):
     vision_only = args.visiononly and args.multipositiveloss
     if vision_only:
         # image-only SimCLR-style path (reference train.py:543-857)
+        if getattr(args, "accum_freq", 1) > 1:
+            raise ValueError(
+                "--accum-freq > 1 is not supported with --visiononly: the "
+                "vision-only step has no microbatch accumulation (drop the "
+                "flag or use the image-text path)"
+            )
         from .vision_only import build_vision_only_step, evaluate_vision_only, train_one_epoch_vision_only
 
         step_fn = build_vision_only_step(model, tx, mesh)

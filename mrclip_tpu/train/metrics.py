@@ -94,15 +94,24 @@ def get_clip_metrics(
                 n_tr = min(len(gt), 201)
                 rows = -logit[:n_tr]
                 k = min(10, rows.shape[1])
-                if k < rows.shape[1]:
-                    part = np.argpartition(rows, k - 1, axis=1)[:, :k]
-                    sub = np.take_along_axis(rows, part, axis=1).argsort(axis=1, kind="stable")
-                    order = np.take_along_axis(part, sub, axis=1)
-                else:
-                    order = rows.argsort(axis=1, kind="stable")
+                order = []
+                for r in rows:
+                    if k < r.shape[0]:
+                        # exact match of np.argsort(r, kind="stable")[:k]
+                        # incl. tie order: argpartition alone breaks ties
+                        # (both inside the window and at the k-th boundary)
+                        # by arbitrary position, not lowest-index-first
+                        part = np.argpartition(r, k - 1)[:k]
+                        kth = r[part].max()
+                        better = np.nonzero(r < kth)[0]
+                        ties = np.nonzero(r == kth)[0][: k - better.size]
+                        cand = np.concatenate([better, ties])
+                        order.append(cand[np.argsort(r[cand], kind="stable")])
+                    else:
+                        order.append(np.argsort(r, kind="stable"))
                 vocab = {}
                 for i in range(n_tr):
-                    top10 = order[i, :10].tolist()
+                    top10 = order[i][:10].tolist()
                     vocab[i] = {
                         "anchor": i,
                         "gt": gt[i].item() if hasattr(gt[i], "item") else gt[i],

@@ -42,11 +42,15 @@ def _batch(n, seed=0, ctx=32, vocab=49408, size=64):
     }
 
 
-def test_plain_accum_sums_microbatch_grads():
+def test_plain_accum_averages_microbatch_grads():
     """With SGD(lr=1, no momentum/wd) the param delta IS the gradient:
-    one accum_freq=2 step from p0 must equal the SUM of the two
+    one accum_freq=2 step from p0 must equal the MEAN of the two
     microbatches' gradients at p0 (each measured via its own accum=1
-    step from a fresh p0)."""
+    step from a fresh p0). Each microbatch loss normalizes over its own
+    rows, so the mean — not the sum — matches the gradient scale of a
+    single effective-batch step and of the cached-features mode (whose
+    reference-parity unscaled sum of full-batch-normalized passes equals
+    one full-batch-mean gradient, train.py:161-183)."""
     model, variables = create_model("ViT-B-32-mini", rng_seed=0)
     tx = optax.sgd(1.0)
     loss_apply = make_loss_apply(create_loss(Args()))
@@ -72,14 +76,14 @@ def test_plain_accum_sums_microbatch_grads():
 
     got = np.concatenate([x.ravel() for x in jax.tree.leaves(d_acc)])
     want = np.concatenate([
-        a.ravel() + b.ravel()
+        (a.ravel() + b.ravel()) / 2.0
         for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(d1))
     ])
     # logit_scale clamp is applied per update; exclude nothing — the clamp
     # only binds at ln(100), far from init
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
-    # guard against regressing to the mean: the sum is ~2x the mean
-    assert not np.allclose(got, want / 2.0, rtol=1e-3, atol=1e-7)
+    # guard against regressing to the sum: the sum is ~2x the mean
+    assert not np.allclose(got, want * 2.0, rtol=1e-3, atol=1e-7)
 
 
 @pytest.fixture(scope="module")
