@@ -87,9 +87,24 @@ def _maybe_rerun_with_retries():
     if attempts == 1:
         return None
     env = dict(os.environ, MRCLIP_BENCH_INNER="1")
+    # Per-attempt wall cap: a dead tunnel makes axon backend init BLOCK
+    # (it does not fast-fail), which would hang the caller forever without
+    # this. 4800s covers the slowest legit point (unrolled ViT-B tunnel
+    # compile 8-15 min + 50 steps).
+    cap = float(os.environ.get("MRCLIP_BENCH_ATTEMPT_TIMEOUT", "4800"))
     rc = 1
     for i in range(attempts):
-        rc = subprocess.run([sys.executable] + sys.argv, env=env).returncode
+        try:
+            rc = subprocess.run(
+                [sys.executable] + sys.argv, env=env, timeout=cap
+            ).returncode
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] attempt {i + 1}/{attempts} exceeded {cap:.0f}s "
+                "(hung tunnel?); killed",
+                file=sys.stderr,
+            )
+            rc = 124
         if rc == 0:
             return 0
         if i + 1 < attempts:
