@@ -206,6 +206,10 @@ def main():
     if _envp and _envp.lower() != "axon":
         jax.config.update("jax_platforms", _envp)
 
+    from mrclip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from mrclip_tpu.factory import create_loss, create_model

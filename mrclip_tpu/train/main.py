@@ -25,6 +25,7 @@ import jax
 import numpy as np
 
 from .. import checkpoint as ckpt
+from ..utils import enable_compilation_cache
 from ..factory import create_loss, create_model_and_transforms, get_model_config, get_tokenizer
 from ..data import get_data
 from ..ops.image_ops import random_augment_batch
@@ -70,6 +71,8 @@ def main(args=None):
     _envp = os.environ.get("JAX_PLATFORMS")
     if _envp and _envp.lower() != "axon":
         jax.config.update("jax_platforms", _envp)
+
+    enable_compilation_cache()
 
     rank, world_size = init_distributed()
     args.rank = rank

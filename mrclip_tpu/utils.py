@@ -12,13 +12,48 @@ Capability parity with reference `src/open_clip/utils.py`:
 
 from __future__ import annotations
 
+import os
 from itertools import repeat
 from typing import Any
 
 import jax
 import numpy as np
 
-__all__ = ["to_2tuple", "to_ntuple", "batch_norm_param_mask"]
+__all__ = [
+    "to_2tuple",
+    "to_ntuple",
+    "batch_norm_param_mask",
+    "enable_compilation_cache",
+]
+
+
+def enable_compilation_cache(default_dir: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at a local directory.
+
+    TPU compiles through the tunnel take minutes; with the cache on, a rerun
+    of an identical program (bench retries after a tunnel flap, the driver's
+    round-end `bench.py` after the queue already measured the same config)
+    deserializes the executable instead of recompiling. Entries are keyed by
+    HLO + backend/compiler version, so CPU test entries and TPU entries
+    coexist, and a backend without executable serialization just logs a
+    notice and skips — never an error.
+
+    Opt out (or redirect) with `MRCLIP_JAX_CACHE` (empty string disables).
+    """
+    path = os.environ.get("MRCLIP_JAX_CACHE")
+    if path is None:
+        path = default_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "mrclip_jax"
+        )
+    if not path:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Tiny test-model compiles churn the dir for no win; only persist
+        # compiles that actually cost something.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 - older jax without these knobs
+        pass
 
 
 def to_ntuple(n: int):

@@ -39,3 +39,27 @@ def test_fsspec_sync_updates_grown_files(tmp_path):
 
 def test_unknown_protocol_rejected(tmp_path):
     assert remote_sync(str(tmp_path), str(tmp_path), "carrier-pigeon") is False
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """MRCLIP_JAX_CACHE redirects the persistent cache; "" disables setup."""
+    import jax
+
+    from mrclip_tpu.utils import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("MRCLIP_JAX_CACHE", str(tmp_path / "c"))
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
+
+        monkeypatch.setenv("MRCLIP_JAX_CACHE", "")
+        jax.config.update("jax_compilation_cache_dir", prev)
+        enable_compilation_cache()  # no-op: must not override the restore
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        monkeypatch.delenv("MRCLIP_JAX_CACHE")
+        enable_compilation_cache(default_dir=str(tmp_path / "d"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "d")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
