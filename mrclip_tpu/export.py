@@ -32,6 +32,10 @@ def main(argv=None) -> str:
     _envp = os.environ.get("JAX_PLATFORMS")
     if _envp and _envp.lower() != "axon":
         jax.config.update("jax_platforms", _envp)
+
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser("mrclip_tpu export")
     p.add_argument("--model", required=True, help="model config name, e.g. ViT-B-16")
     p.add_argument(

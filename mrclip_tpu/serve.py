@@ -219,6 +219,10 @@ def main(argv=None):
     _envp = os.environ.get("JAX_PLATFORMS")
     if _envp and _envp.lower() != "axon":
         jax.config.update("jax_platforms", _envp)
+
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser("mrclip_tpu.serve")
     parser.add_argument("--model", required=True, help="path to a .mrclip export")
     parser.add_argument("--host", default="0.0.0.0")
