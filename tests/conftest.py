@@ -24,3 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 # cached backends() dict cpu-only for the whole session.
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
+
+# Persistent compilation cache: the suite's cost is dominated by jit
+# compiles of tiny models; entries slower than the 5 s threshold (the 32k
+# scale-lowering programs, mesh train steps) are reused across suite runs.
+# Same MRCLIP_JAX_CACHE="" opt-out as the CLIs.
+from mrclip_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(default_dir=os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
