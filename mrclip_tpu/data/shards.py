@@ -246,6 +246,10 @@ class ShardedTarDataset:
                 t.start()
             finished = 0
             while finished < n_workers:
+                if errors:
+                    # Fail fast: a dead worker means the epoch would silently
+                    # train on a fraction of the shards until the end.
+                    raise errors[0]
                 item = q.get()
                 if item is done:
                     finished += 1

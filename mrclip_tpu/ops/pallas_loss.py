@@ -140,6 +140,15 @@ def _fit_block(n: int, want: int) -> int:
     b = min(want, n)
     while n % b:
         b -= 1
+    if b < 8 and n > 8:
+        import warnings
+
+        warnings.warn(
+            f"pallas loss block collapsed to {b} for size {n} (no divisor "
+            f"near {want}); the kernel will run a tiny-block grid — prefer "
+            "a batch size with a divisor >= 8, or the chunked/dense loss",
+            stacklevel=3,
+        )
     return b
 
 
@@ -193,8 +202,9 @@ def pallas_multipositive_loss(
 ) -> jax.Array:
     """SupCon Eq. (2) over `scale * q @ k.T` as one fused Pallas program.
 
-    Shapes must tile: n_q % block_q == 0, n_k % block_k == 0 (pad with a
-    sentinel label to round up). Matches
+    Block sizes auto-shrink to divisors of (n_q, n_k) so any shape is
+    exact; batches with no divisor near the requested block (e.g. prime)
+    degrade to tiny grid steps — see `_fit_block`. Matches
     `losses.functional.multi_positive_cross_entropy_loss` numerics.
     """
     loss, _ = _fwd(q, k, labels_q, labels_k, logit_scale, block_q, block_k, interpret)

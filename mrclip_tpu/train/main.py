@@ -170,6 +170,16 @@ def main(args=None):
                 "'fusedp' (mesh-capable fused kernel) or 'bf16'/'xla'."
             )
 
+    # Reject invalid flag combinations BEFORE side effects (the remote-sync
+    # daemon below outlives a caught ValueError when main() is called
+    # programmatically, and the data loaders are expensive to build).
+    if args.visiononly and args.multipositiveloss and getattr(args, "accum_freq", 1) > 1:
+        raise ValueError(
+            "--accum-freq > 1 is not supported with --visiononly: the "
+            "vision-only step has no microbatch accumulation (drop the "
+            "flag or use the image-text path)"
+        )
+
     # remote sync daemon (reference main.py:187-207)
     remote_sync_process = None
     if args.remote_sync and rank == 0:
@@ -314,13 +324,8 @@ def main(args=None):
 
     vision_only = args.visiononly and args.multipositiveloss
     if vision_only:
-        # image-only SimCLR-style path (reference train.py:543-857)
-        if getattr(args, "accum_freq", 1) > 1:
-            raise ValueError(
-                "--accum-freq > 1 is not supported with --visiononly: the "
-                "vision-only step has no microbatch accumulation (drop the "
-                "flag or use the image-text path)"
-            )
+        # image-only SimCLR-style path (reference train.py:543-857);
+        # accum_freq > 1 was already rejected before the sync daemon started
         from .vision_only import build_vision_only_step, evaluate_vision_only, train_one_epoch_vision_only
 
         step_fn = build_vision_only_step(model, tx, mesh)

@@ -1,8 +1,11 @@
 """Regression tests for the third round-3 review batch (train-step core).
 
-- plain microbatch accumulation must SUM gradients (no 1/accum_freq
-  scaling), same convention as the cached-features branch and the
-  reference loop (train.py:161-183);
+- plain microbatch accumulation must AVERAGE the per-microbatch-mean
+  gradients (each microbatch loss normalizes over its own rows, so the
+  mean has the scale of one effective-batch mean-loss gradient; the
+  cached-features branch sums UNSCALED like the reference loop,
+  train.py:161-183, because each of its passes is already normalized
+  over the full spliced batch);
 - BN running statistics must update under BOTH accumulation modes
   (they were silently dropped whenever accum_freq > 1);
 - create_train_state on a mesh must not eagerly allocate a throwaway
@@ -318,3 +321,55 @@ def test_png_decode_rejects_hostile_headers(tmp_path):
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(short_raw)) + chunk(b"IEND", b""))
     assert decode_png(png, 3) is None
+
+
+def test_shard_worker_error_fails_fast(tmp_path):
+    """A dead worker surfaces before the healthy workers drain the epoch —
+    not only after ALL sentinels (an epoch of silent partial-data training)."""
+    import io
+    import tarfile
+    import time
+
+    from PIL import Image
+
+    from mrclip_tpu.data.shards import ShardedTarDataset
+
+    def write_shard(path, prefix, n, fill=0):
+        with tarfile.open(path, "w") as tf:
+            for i in range(n):
+                buf = io.BytesIO()
+                Image.fromarray(np.full((4, 4, 3), fill, np.uint8)).save(buf, "png")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{prefix}_{i}.png")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = b"caption"
+                info = tarfile.TarInfo(f"{prefix}_{i}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+
+    # the bad shard's image is all-255; the transform keys off pixel content
+    # (it only ever sees the decoded image), so exactly worker 0 dies —
+    # shards are assigned round-robin, worker 0 gets 0.tar.
+    write_shard(tmp_path / "0.tar", "bad", 1, fill=255)
+    write_shard(tmp_path / "1.tar", "good", 40, fill=0)
+
+    def transform(img):
+        if np.asarray(img).max() > 128:
+            raise RuntimeError("bad shard")
+        # slow the healthy stream enough that the fail-fast check runs
+        # while worker 1 still has samples left
+        time.sleep(0.01)
+        return np.zeros((4, 4, 3), np.float32)
+
+    seen = 0
+    with pytest.raises(RuntimeError, match="bad shard"):
+        ds = ShardedTarDataset(
+            f"{tmp_path}/0.tar::{tmp_path}/1.tar",
+            transform=transform,
+            num_workers=2,
+            shuffle=False,
+        )
+        for _ in ds:
+            seen += 1
+    assert seen < 40, f"error surfaced only after draining the epoch ({seen})"
