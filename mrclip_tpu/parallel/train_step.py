@@ -113,7 +113,11 @@ def create_optimizer(
             mu_dtype=mu_dtype,
         )
     elif opt == "adafactor":
-        tx = optax.adafactor(learning_rate=lr, weight_decay_rate=wd)
+        # same gain/bias/logit_scale wd exclusions as the other opts (the
+        # reference's timm delegation applies the same no-decay grouping)
+        tx = optax.adafactor(
+            learning_rate=lr, weight_decay_rate=wd, weight_decay_mask=_wd_mask
+        )
     else:
         raise ValueError(f"unknown optimizer {opt}")
     if grad_clip_norm is not None:
