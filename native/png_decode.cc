@@ -49,7 +49,9 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
   long pos = 8;
   uint32_t w = 0, h = 0;
   int bit_depth = 0, color_type = 0, interlace = 0;
-  std::vector<uint8_t> idat;
+  // IDAT segments are inflated straight out of `data` (no concat copy);
+  // collect their (offset, length) spans here.
+  std::vector<std::pair<long, uint32_t>> idat;
 
   while (pos + 8 <= size) {
     uint32_t len = be32(data + pos);
@@ -68,7 +70,7 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
       if (color_type != 0 && color_type != 2 && color_type != 4 && color_type != 6)
         return -3;
     } else if (std::memcmp(type, "IDAT", 4) == 0) {
-      idat.insert(idat.end(), body, body + len);
+      idat.emplace_back(pos + 8, len);
     } else if (std::memcmp(type, "IEND", 4) == 0) {
       break;
     }
@@ -87,11 +89,16 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
 
   z_stream zs{};
   if (inflateInit(&zs) != Z_OK) return -5;
-  zs.next_in = idat.data();
-  zs.avail_in = (uInt)idat.size();
   zs.next_out = raw.data();
   zs.avail_out = (uInt)raw.size();
-  int zret = inflate(&zs, Z_FINISH);
+  int zret = Z_OK;
+  for (size_t s = 0; s < idat.size() && zret == Z_OK; ++s) {
+    zs.next_in = const_cast<uint8_t*>(data) + idat[s].first;
+    zs.avail_in = (uInt)idat[s].second;
+    // Z_FINISH is only valid once all input is present; stream segments
+    // before the last use Z_NO_FLUSH.
+    zret = inflate(&zs, s + 1 == idat.size() ? Z_FINISH : Z_NO_FLUSH);
+  }
   const bool filled = (zs.avail_out == 0);
   inflateEnd(&zs);
   // Z_STREAM_END alone is not enough: a complete-but-short zlib stream
@@ -99,7 +106,10 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
   if (zret != Z_STREAM_END || !filled) return -6;
 
   // Undo row filters in place (working row layout: filter byte + row bytes).
-  std::vector<uint8_t> prev(stride, 0);
+  // `prev` points at the previous row's already-unfiltered pixels inside
+  // `raw` (no per-row copy); a zero row stands in above the first row.
+  std::vector<uint8_t> zero_row(stride, 0);
+  const uint8_t* prev = zero_row.data();
   for (uint32_t y = 0; y < h; ++y) {
     uint8_t* row = raw.data() + y * (stride + 1);
     const uint8_t filter = row[0];
@@ -127,26 +137,37 @@ int mrclip_png_decode(const uint8_t* data, long size, uint8_t* out,
       default:
         return -7;
     }
-    std::memcpy(prev.data(), cur, stride);
+    prev = cur;
 
     // Channel conversion into the output buffer.
     uint8_t* dst = out + (size_t)y * w * out_channels;
-    for (uint32_t x = 0; x < w; ++x) {
-      const uint8_t* px = cur + (size_t)x * in_ch;
-      uint8_t r, g, b;
-      if (in_ch <= 2) {
-        r = g = b = px[0];
-      } else {
-        r = px[0];
-        g = px[1];
-        b = px[2];
+    if (in_ch == 3 && out_channels == 3) {
+      std::memcpy(dst, cur, stride);  // RGB -> RGB rows copy straight through
+    } else if (in_ch == 1 && out_channels == 3) {
+      for (uint32_t x = 0; x < w; ++x) {  // gray -> RGB (the MRI common case)
+        const uint8_t v = cur[x];
+        dst[x * 3 + 0] = v;
+        dst[x * 3 + 1] = v;
+        dst[x * 3 + 2] = v;
       }
-      if (out_channels == 1) {
-        dst[x] = r;
-      } else {
-        dst[x * 3 + 0] = r;
-        dst[x * 3 + 1] = g;
-        dst[x * 3 + 2] = b;
+    } else {
+      for (uint32_t x = 0; x < w; ++x) {
+        const uint8_t* px = cur + (size_t)x * in_ch;
+        uint8_t r, g, b;
+        if (in_ch <= 2) {
+          r = g = b = px[0];
+        } else {
+          r = px[0];
+          g = px[1];
+          b = px[2];
+        }
+        if (out_channels == 1) {
+          dst[x] = r;
+        } else {
+          dst[x * 3 + 0] = r;
+          dst[x * 3 + 1] = g;
+          dst[x * 3 + 2] = b;
+        }
       }
     }
   }
