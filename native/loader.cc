@@ -125,28 +125,33 @@ void resize_window(const uint8_t* src, int sh, int sw, int c, float src_y0,
     for (int x = 0; x < dw; ++x) {
       int x0 = xb[(size_t)x * 2], xn = xb[(size_t)x * 2 + 1];
       const float* k = xk.data() + (size_t)x * xks;
-      for (int ch = 0; ch < c; ++ch) {
-        float acc = 0.f;
-        for (int i = 0; i < xn; ++i) acc += srow[(size_t)(x0 + i) * c + ch] * k[i];
-        // PIL rounds the horizontal pass to uint8 before the vertical pass
-        // (Resample.c 8bpc path); mirror that for bit-level closeness.
-        trow[(size_t)x * c + ch] = (float)clamp_u8(acc);
-      }
+      // accumulate all channels per tap so the source reads are contiguous
+      // (same per-element tap order as a per-channel loop -> bit-identical)
+      float acc[4] = {0.f, 0.f, 0.f, 0.f};
+      const uint8_t* p = srow + (size_t)x0 * c;
+      for (int i = 0; i < xn; ++i, p += c)
+        for (int ch = 0; ch < c; ++ch) acc[ch] += p[ch] * k[i];
+      // PIL rounds the horizontal pass to uint8 before the vertical pass
+      // (Resample.c 8bpc path); mirror that for bit-level closeness.
+      for (int ch = 0; ch < c; ++ch)
+        trow[(size_t)x * c + ch] = (float)clamp_u8(acc[ch]);
     }
   }
-  // vertical pass into the destination canvas
+  // vertical pass into the destination canvas: sweep whole tmp rows per tap
+  // (contiguous, auto-vectorizable) instead of striding down columns
+  const int rowlen = dw * c;
+  std::vector<float> accrow((size_t)rowlen);
   for (int y = 0; y < dh; ++y) {
     int y0 = yb[(size_t)y * 2] - ymin_all, yn = yb[(size_t)y * 2 + 1];
     const float* k = yk.data() + (size_t)y * yks;
-    uint8_t* row = dst + ((size_t)(dst_y0 + y) * out_row_w + dst_x0) * c;
-    for (int x = 0; x < dw; ++x) {
-      for (int ch = 0; ch < c; ++ch) {
-        float acc = 0.f;
-        for (int i = 0; i < yn; ++i)
-          acc += tmp[((size_t)(y0 + i) * dw + x) * c + ch] * k[i];
-        row[(size_t)x * c + ch] = clamp_u8(acc);
-      }
+    std::memset(accrow.data(), 0, sizeof(float) * rowlen);
+    for (int i = 0; i < yn; ++i) {
+      const float kv = k[i];
+      const float* trow = tmp.data() + (size_t)(y0 + i) * rowlen;
+      for (int j = 0; j < rowlen; ++j) accrow[j] += kv * trow[j];
     }
+    uint8_t* row = dst + ((size_t)(dst_y0 + y) * out_row_w + dst_x0) * c;
+    for (int j = 0; j < rowlen; ++j) row[j] = clamp_u8(accrow[j]);
   }
 }
 
@@ -377,29 +382,34 @@ void color_jitter_u8(uint8_t* img, int h, int w, const float* cp) {
   }
 }
 
-// Separable 3x3 gaussian blur, sigma per image.
+// Separable 3x3 gaussian blur, sigma per image. Rows are treated as flat
+// [w*c] arrays so both passes are contiguous 3-tap stencils (taps at +-c
+// horizontally, +-row vertically) the compiler auto-vectorizes; edge pixels
+// replicate, identical to the per-pixel clamped formulation.
 void blur3(uint8_t* img, int h, int w, int c, float sigma, float* tmp) {
   float k1 = std::exp(-0.5f / (sigma * sigma));
   float k0 = 1.f, norm = k0 + 2 * k1;
   k0 /= norm; k1 /= norm;
+  const int rowlen = w * c;
   // horizontal
   for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      int xm = x > 0 ? x - 1 : 0, xp = x < w - 1 ? x + 1 : w - 1;
-      for (int ch = 0; ch < c; ++ch)
-        tmp[(y * w + x) * c + ch] = k1 * img[(y * w + xm) * c + ch] +
-                                    k0 * img[(y * w + x) * c + ch] +
-                                    k1 * img[(y * w + xp) * c + ch];
-    }
+    const uint8_t* s = img + (size_t)y * rowlen;
+    float* t = tmp + (size_t)y * rowlen;
+    for (int ch = 0; ch < c; ++ch)  // x = 0: left tap replicates
+      t[ch] = (k0 + k1) * s[ch] + k1 * s[c + ch];
+    for (int j = c; j < rowlen - c; ++j)
+      t[j] = k1 * s[j - c] + k0 * s[j] + k1 * s[j + c];
+    for (int j = rowlen - c; j < rowlen; ++j)  // x = w-1: right tap replicates
+      t[j] = k1 * s[j - c] + (k0 + k1) * s[j];
   }
   // vertical
   for (int y = 0; y < h; ++y) {
-    int ym = y > 0 ? y - 1 : 0, yp = y < h - 1 ? y + 1 : h - 1;
-    for (int x = 0; x < w; ++x)
-      for (int ch = 0; ch < c; ++ch)
-        img[(y * w + x) * c + ch] = (uint8_t)(
-            k1 * tmp[(ym * w + x) * c + ch] + k0 * tmp[(y * w + x) * c + ch] +
-            k1 * tmp[(yp * w + x) * c + ch] + 0.5f);
+    const float* tm = tmp + (size_t)(y > 0 ? y - 1 : 0) * rowlen;
+    const float* t0 = tmp + (size_t)y * rowlen;
+    const float* tp = tmp + (size_t)(y < h - 1 ? y + 1 : h - 1) * rowlen;
+    uint8_t* d = img + (size_t)y * rowlen;
+    for (int j = 0; j < rowlen; ++j)
+      d[j] = (uint8_t)(k1 * tm[j] + k0 * t0[j] + k1 * tp[j] + 0.5f);
   }
 }
 
