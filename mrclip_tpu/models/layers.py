@@ -189,17 +189,25 @@ def apply_rope_cat(t: jax.Array, rope: jax.Array, prefix: int) -> jax.Array:
     `t`: [B, N, H, hd]; `rope`: [N - prefix, 2*hd] from
     `ops.pos_embed.rope_cat_2d`. The first `prefix` tokens (CLS) pass
     through unrotated, exactly timm `eva.py`'s
-    `cat([q[:, :, :npt], apply_rot_embed_cat(q[:, :, npt:], rope)])`.
+    `cat([q[:, :, :npt], apply_rot_embed_cat(q[:, :, npt:], rope)])` — but
+    realized here by padding the table with identity rows (sin=0, cos=1)
+    and rotating the WHOLE tensor: y[0] = x*1 + rot*0 = x exactly, and the
+    bf16->fp32->bf16 round-trip of the prefix is lossless, so the result is
+    bit-identical to the slice+concat form while avoiding a full-tensor
+    concat copy per q/k per layer (the pad is a constant-folded table op).
     Rotation runs in fp32 and casts back (bf16 sin/cos would cost rope
     accuracy for no matmul benefit — this is a VPU-only elementwise op).
     """
     sin, cos = jnp.split(rope.astype(jnp.float32), 2, axis=-1)  # [P, hd]
-    x = t[:, prefix:].astype(jnp.float32)
+    if prefix:
+        sin = jnp.pad(sin, ((prefix, 0), (0, 0)))
+        cos = jnp.pad(cos, ((prefix, 0), (0, 0)), constant_values=1.0)
+    x = t.astype(jnp.float32)
     pairs = x.reshape(*x.shape[:-1], -1, 2)
     rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(x.shape)
-    # broadcast [P, hd] over [B, P, H, hd]
+    # broadcast [N, hd] over [B, N, H, hd]
     y = x * cos[None, :, None, :] + rot * sin[None, :, None, :]
-    return jnp.concatenate([t[:, :prefix], y.astype(t.dtype)], axis=1)
+    return y.astype(t.dtype)
 
 
 class ZeroKBiasQKV(nn.Module):
