@@ -188,6 +188,7 @@ def _build_synthetic(args, transform, tokenizer, is_train: bool):
         image_size=image_size,
         dataset_size=getattr(args, "train_num_samples", 256),
         tokenizer=tokenizer,
+        vocab_size=getattr(args, "_model_vocab_size", None),
     )
     sampler = DistributedSampler(
         len(dataset),

@@ -25,6 +25,7 @@ class SyntheticDataset:
         dataset_size: int = 100,
         tokenizer: Optional[Callable] = None,
         num_labels: int = 8,
+        vocab_size: Optional[int] = None,
     ):
         self.transform = transform
         self.image_size = image_size
@@ -32,6 +33,9 @@ class SyntheticDataset:
         self.dataset_size = dataset_size
         self.tokenize = tokenizer
         self.num_labels = num_labels
+        # mini-vocab configs (test/smoke models): clamp placeholder caption
+        # ids into the model's embedding range — OOB gathers fill NaN on XLA
+        self.vocab_size = vocab_size
         self.image = Image.new("RGB", image_size)
         self.labels = list(np.arange(dataset_size) % num_labels)
         self.volume_ids = [f"vol{i // 4}" for i in range(dataset_size)]
@@ -49,7 +53,13 @@ class SyntheticDataset:
         item["echo_time"] = np.float32(0.01 * (self.labels[idx] + 1))
         item["repetition_time"] = np.float32(0.5 * (self.labels[idx] + 1))
         if self.tokenize is not None:
-            item["tokens"] = self.tokenize([self.caption])[0]
+            tokens = np.asarray(self.tokenize([self.caption])[0])
+            if self.vocab_size is not None:
+                # keep 0 (pad) fixed; fold everything else into [1, vocab)
+                tokens = np.where(
+                    tokens == 0, tokens, 1 + (tokens - 1) % (self.vocab_size - 1)
+                ).astype(tokens.dtype)
+            item["tokens"] = tokens
         else:
             item["caption"] = self.caption
         return item

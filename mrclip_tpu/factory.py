@@ -483,6 +483,18 @@ def create_loss(args) -> Callable[..., dict]:
     if get("distill"):
         return partial(distill_clip_loss, gather_with_grad=get("gather_with_grad", True))
     if "coca" in (get("model", "") or "").lower():
+        if get("chunked_loss"):
+            # streams the vocab projection + captioning CE per sequence
+            # chunk — the [B, T, 49408] logits never materialize
+            from .ops.fused_loss import coca_loss_chunked
+
+            return partial(
+                coca_loss_chunked,
+                caption_loss_weight=get("coca_caption_loss_weight", 2.0),
+                clip_loss_weight=get("coca_contrastive_loss_weight", 1.0),
+                chunk_size=get("caption_chunk_size", 16),
+                gather_with_grad=get("gather_with_grad", True),
+            )
         return partial(
             coca_loss,
             caption_loss_weight=get("coca_caption_loss_weight", 2.0),

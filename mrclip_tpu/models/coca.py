@@ -63,7 +63,9 @@ class MultimodalTransformer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image_embs: jax.Array, text_embs: jax.Array) -> jax.Array:
+    def __call__(
+        self, image_embs: jax.Array, text_embs: jax.Array, return_hidden: bool = False
+    ):
         x = text_embs
         for i in range(self.layers):
             x = ResidualAttentionBlock(
@@ -90,7 +92,16 @@ class MultimodalTransformer(nn.Module):
             nn.initializers.normal(stddev=self.width**-0.5),
             (self.width, self.output_dim),
         )
-        return x @ proj.astype(x.dtype)
+        logits = x @ proj.astype(x.dtype)
+        if return_hidden:
+            # The caller may consume (hidden, proj) instead of logits — e.g.
+            # ops.fused_loss.chunked_caption_xent streams the vocab projection
+            # + CE per sequence chunk so the [B, T, vocab] tensor (and its
+            # fp32 softmax intermediates) never materialize in HBM. Whichever
+            # output the loss ignores is removed by XLA dead-code elimination
+            # under jit, so emitting all three costs nothing.
+            return logits, x, proj
+        return logits
 
 
 class CoCa(nn.Module):
@@ -201,11 +212,17 @@ class CoCa(nn.Module):
             labels = text[:, 1:]
             token_embs = token_embs[:, :-1]
 
-        logits = self.text_decoder(image_embs, token_embs)
+        logits, hidden, caption_proj = self.text_decoder(
+            image_embs, token_embs, return_hidden=True
+        )
         out = {
             "image_features": image_latent,
             "text_features": text_latent,
             "logits": logits,
+            # for the chunked captioning CE (dead-code-eliminated when the
+            # dense coca_loss consumes "logits" instead)
+            "caption_hidden": hidden,
+            "caption_proj": caption_proj,
             "logit_scale": jnp.exp(self.logit_scale),
         }
         if labels is not None:

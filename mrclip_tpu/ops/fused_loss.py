@@ -18,7 +18,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chunked_multipositive_loss", "chunked_multipositive_clip_loss"]
+__all__ = [
+    "chunked_multipositive_loss",
+    "chunked_multipositive_clip_loss",
+    "chunked_caption_xent",
+    "coca_loss_chunked",
+]
 
 _EPS = 1e-12
 
@@ -137,4 +142,91 @@ def chunked_multipositive_clip_loss(
         "multi_contrastive_loss": loss,
         "image_to_text_loss": loss_img,
         "text_to_image_loss": loss_txt,
+    }
+
+
+def chunked_caption_xent(
+    hidden: jax.Array,
+    proj: jax.Array,
+    labels: jax.Array,
+    *,
+    pad_id: int = 0,
+    chunk_size: int = 16,
+) -> jax.Array:
+    """Captioning CE without materializing the [B, T, vocab] logits.
+
+    The dense path (`losses.contrastive.coca_loss`) holds the decoder's full
+    vocab projection plus two fp32 [B, T, V] softmax intermediates — ~6 GB at
+    B=128/T=75/V=49408, which OOMs the 16G chip. This streams `hidden @ proj`
+    per sequence chunk inside a rematerialized `lax.scan`: live memory is
+    O(B x chunk x V) and the backward recomputes each chunk's logits instead
+    of storing them. Exact same value as the dense fp32-log-softmax CE with
+    pad positions ignored (reference CoCaLoss, loss.py:142-184).
+    """
+    b, t, d = hidden.shape
+    n_chunks = -(-t // chunk_size)
+    pad = n_chunks * chunk_size - t
+    if pad:
+        # padded positions get pad_id labels -> masked out of the CE
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=pad_id)
+
+    h_c = hidden.reshape(b, n_chunks, chunk_size, d).transpose(1, 0, 2, 3)
+    y_c = labels.reshape(b, n_chunks, chunk_size).transpose(1, 0, 2)
+    proj_c = proj.astype(hidden.dtype)
+
+    def body(carry, chunk):
+        nll_sum, cnt = carry
+        h, y = chunk  # [B, C, D], [B, C]
+        z = (h @ proj_c).astype(jnp.float32)  # [B, C, V]
+        logp = jax.nn.log_softmax(z, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        valid = (y != pad_id).astype(jnp.float32)
+        return (nll_sum + jnp.sum(nll * valid), cnt + jnp.sum(valid)), None
+
+    init = (jnp.float32(0.0), jnp.float32(0.0))
+    (nll_sum, cnt), _ = jax.lax.scan(jax.checkpoint(body), init, (h_c, y_c))
+    return nll_sum / jnp.clip(cnt, min=1.0)
+
+
+def coca_loss_chunked(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    caption_hidden: jax.Array,
+    caption_proj: jax.Array,
+    caption_labels: jax.Array,
+    logit_scale: jax.Array,
+    *,
+    caption_loss_weight: float = 2.0,
+    clip_loss_weight: float = 1.0,
+    pad_id: int = 0,
+    chunk_size: int = 16,
+    axis_name: Optional[str] = None,
+    gather_with_grad: bool = True,
+) -> dict:
+    """`coca_loss` with the captioning CE streamed per sequence chunk.
+
+    Consumes the decoder's pre-projection hidden states + projection matrix
+    (CoCa emits both; XLA DCE removes the unused dense logits), so the
+    [B, T, vocab] tensor never exists. Value matches
+    `losses.contrastive.coca_loss` to float rounding.
+    """
+    from ..losses.contrastive import clip_loss
+
+    contrastive = clip_loss(
+        image_features,
+        text_features,
+        logit_scale,
+        axis_name=axis_name,
+        gather_with_grad=gather_with_grad,
+    )["loss"] * clip_loss_weight
+
+    caption = caption_loss_weight * chunked_caption_xent(
+        caption_hidden, caption_proj, caption_labels,
+        pad_id=pad_id, chunk_size=chunk_size,
+    )
+    return {
+        "loss": contrastive + caption,
+        "contrastive_loss": contrastive,
+        "caption_loss": caption,
     }

@@ -219,6 +219,9 @@ _LOSS_ARG_SPECS: dict = {
     "mrclip_tpu.losses.contrastive.coca_loss": (
         "image_features", "text_features", "caption_logits", "caption_labels",
         "logit_scale"),
+    "mrclip_tpu.ops.fused_loss.coca_loss_chunked": (
+        "image_features", "text_features", "caption_hidden", "caption_proj",
+        "caption_labels", "logit_scale"),
     "mrclip_tpu.losses.contrastive.distill_clip_loss": (
         "image_features", "text_features", "logit_scale",
         "dist_image_features", "dist_text_features", "dist_logit_scale"),

@@ -200,6 +200,27 @@ def main(args=None):
 
     # data
     tokenizer = get_tokenizer(args.model)
+    # Fail loudly on tokenizer/config vocab mismatch: the embedding table's
+    # out-of-range gather fills NaN under XLA (jnp.take mode='fill'), which
+    # silently poisons the whole step — torch would IndexError instead. The
+    # synthetic dataset clamps ids into range (its captions are placeholders)
+    # so mini-vocab configs still smoke-test; real data must match.
+    model_vocab = (get_model_config(args.model) or {}).get("text_cfg", {}).get(
+        "vocab_size"
+    )
+    tok_vocab = getattr(tokenizer, "vocab_size", None)
+    args._model_vocab_size = model_vocab
+    if (
+        model_vocab
+        and tok_vocab
+        and tok_vocab > model_vocab
+        and args.dataset_type != "synthetic"
+    ):
+        raise ValueError(
+            f"tokenizer emits ids up to {tok_vocab - 1} but model "
+            f"'{args.model}' has vocab_size {model_vocab}: out-of-range ids "
+            "would gather NaN embeddings. Use a matching tokenizer/config."
+        )
     data = get_data(args, (preprocess_train, preprocess_val), epoch=0, tokenizer=tokenizer)
     assert len(data), "At least one train or val dataset must be specified."
 

@@ -206,8 +206,12 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--pallas-loss", default=False, action="store_true",
                    help="fused Pallas multipositive loss kernel (logit tiles stay in VMEM)")
     p.add_argument("--chunked-loss", default=False, action="store_true",
-                   help="streaming multipositive loss (no N^2 logits; 32k-batch path)")
+                   help="streaming multipositive loss (no N^2 logits; 32k-batch "
+                        "path); for CoCa models, streams the captioning CE per "
+                        "sequence chunk (no [B, T, vocab] logits)")
     p.add_argument("--loss-chunk-size", type=int, default=1024)
+    p.add_argument("--caption-chunk-size", type=int, default=16,
+                   help="sequence chunk for the CoCa streaming captioning CE")
     p.add_argument("--native-loader", default=False, action="store_true",
                    help="C++ threaded PNG decode feeding uint8 canvases "
                         "(pair with --device-augment)")

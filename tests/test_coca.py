@@ -84,3 +84,71 @@ def test_generation(coca, mode):
         eots = np.where(row == 999)[0]
         if len(eots):
             assert (row[eots[0] + 1 :] == 0).all()
+
+
+def test_chunked_caption_loss_matches_dense(coca):
+    """coca_loss_chunked == coca_loss (value + grads), incl. the pad tail
+    (T=23 is not divisible by chunk 5) and pad-label masking."""
+    from mrclip_tpu.ops.fused_loss import coca_loss_chunked
+
+    model, variables = coca
+    images, tokens = _batch()
+    # real pad tail: last 4 positions pad_id=0 -> masked out of the CE
+    tokens = tokens.at[:, -4:].set(0)
+
+    def dense(v):
+        out = model.apply(v, images, tokens)
+        return coca_loss(
+            out["image_features"], out["text_features"], out["logits"],
+            out["labels"], out["logit_scale"],
+        )["loss"]
+
+    def chunked(v):
+        out = model.apply(v, images, tokens)
+        return coca_loss_chunked(
+            out["image_features"], out["text_features"], out["caption_hidden"],
+            out["caption_proj"], out["labels"], out["logit_scale"],
+            chunk_size=5,
+        )["loss"]
+
+    ld, gd = jax.value_and_grad(dense)(variables)
+    lc, gc = jax.value_and_grad(chunked)(variables)
+    np.testing.assert_allclose(float(ld), float(lc), rtol=1e-6)
+    maxdiff = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gc))
+    )
+    assert maxdiff < 1e-5, f"grad maxdiff {maxdiff}"
+
+
+def test_chunked_coca_dispatch_and_train_step(coca):
+    """factory dispatches coca + chunked_loss to the streaming captioning CE
+    and the train-step adapter feeds it caption_hidden/caption_proj."""
+    from mrclip_tpu.factory import create_loss
+    from mrclip_tpu.parallel.train_step import (
+        build_train_step, create_optimizer, create_train_state, make_loss_apply,
+    )
+
+    model, variables = coca
+
+    class Args:
+        model = "coca-mini"
+        chunked_loss = True
+
+    loss_fn = create_loss(Args())
+    assert loss_fn.func.__name__ == "coca_loss_chunked"
+
+    images, tokens = _batch()
+    tx = create_optimizer(lr=1e-3, wd=0.0)
+    state = create_train_state(variables, tx)
+    step = build_train_step(model, make_loss_apply(loss_fn), tx, donate=False)
+    state2, metrics = step(
+        state, {"images": images, "tokens": tokens}, jax.random.key(0)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params))
+    )
+    assert moved

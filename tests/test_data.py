@@ -208,3 +208,25 @@ def test_get_data_synthetic():
     b = next(iter(data["train"].dataloader))
     assert b["images"].shape == (4, 32, 32, 3)
     assert b["tokens"].shape == (4, 16)
+
+
+def test_synthetic_vocab_clamp():
+    """Mini-vocab configs: synthetic caption ids fold into [0, vocab) so the
+    embedding gather never goes out of range (XLA OOB gathers fill NaN);
+    pad id 0 stays 0."""
+    tok = SimpleTokenizer()
+    ds = SyntheticDataset(
+        transform=None, image_size=(32, 32), dataset_size=4,
+        tokenizer=tok, vocab_size=1000,
+    )
+    toks = np.asarray(ds[0]["tokens"])
+    assert toks.max() < 1000
+    assert toks.min() >= 0
+    raw = np.asarray(tok([ds.caption])[0])
+    # pad positions preserved exactly
+    np.testing.assert_array_equal(toks == 0, raw == 0)
+    # without vocab_size: untouched
+    ds2 = SyntheticDataset(
+        transform=None, image_size=(32, 32), dataset_size=4, tokenizer=tok,
+    )
+    np.testing.assert_array_equal(np.asarray(ds2[0]["tokens"]), raw)
