@@ -183,7 +183,9 @@ class SwiGLU(nn.Module):
         return nn.Dense(self.width, dtype=self.dtype, name="fc2")(y)
 
 
-def apply_rope_cat(t: jax.Array, rope: jax.Array, prefix: int) -> jax.Array:
+def apply_rope_cat(
+    t: jax.Array, rope: jax.Array, prefix: int, compute_dtype=None
+) -> jax.Array:
     """Rotate q/k by a concatenated sin||cos rope table.
 
     `t`: [B, N, H, hd]; `rope`: [N - prefix, 2*hd] from
@@ -195,14 +197,19 @@ def apply_rope_cat(t: jax.Array, rope: jax.Array, prefix: int) -> jax.Array:
     bf16->fp32->bf16 round-trip of the prefix is lossless, so the result is
     bit-identical to the slice+concat form while avoiding a full-tensor
     concat copy per q/k per layer (the pad is a constant-folded table op).
-    Rotation runs in fp32 and casts back (bf16 sin/cos would cost rope
-    accuracy for no matmul benefit — this is a VPU-only elementwise op).
+    Rotation runs in fp32 by default and casts back. `compute_dtype` (set by
+    the attention layer under `attn_impl='bf16'`, the throughput mode that
+    already stores QK logits/probs in compute dtype) rotates in that dtype
+    instead: EVA02's visual attention is HBM-bound at 100-116% BW with
+    intensity 41-60 f/B (profiles/r3_eva02), and the fp32 intermediates are
+    pure byte overhead at those rooflines.
     """
-    sin, cos = jnp.split(rope.astype(jnp.float32), 2, axis=-1)  # [P, hd]
+    rdt = jnp.float32 if compute_dtype is None else compute_dtype
+    sin, cos = jnp.split(rope.astype(rdt), 2, axis=-1)  # [P, hd]
     if prefix:
         sin = jnp.pad(sin, ((prefix, 0), (0, 0)))
         cos = jnp.pad(cos, ((prefix, 0), (0, 0)), constant_values=1.0)
-    x = t.astype(jnp.float32)
+    x = t.astype(rdt)
     pairs = x.reshape(*x.shape[:-1], -1, 2)
     rot = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(x.shape)
     # broadcast [N, hd] over [B, N, H, hd]
@@ -314,8 +321,11 @@ class MultiHeadAttention(nn.Module):
 
         if rope is not None:
             assert kv is None, "rope applies to self-attention only"
-            q = apply_rope_cat(q, rope, rope_prefix)
-            k = apply_rope_cat(k, rope, rope_prefix)
+            # under the bf16 score-storage mode, rotate in compute dtype too
+            # (the fp32 round-trip is pure HBM bytes on a BW-bound op)
+            rdt = self.dtype if self.attn_impl == "bf16" else None
+            q = apply_rope_cat(q, rope, rope_prefix, compute_dtype=rdt)
+            k = apply_rope_cat(k, rope, rope_prefix, compute_dtype=rdt)
 
         if self.scaled_cosine:
             logit_scale = self.param(
