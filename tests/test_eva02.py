@@ -329,3 +329,48 @@ def test_eva02_rope_patch_dropout_rejected():
     )
     with pytest.raises(NotImplementedError, match="patch_dropout"):
         vt.init(jax.random.key(0), jnp.zeros((1, RES, RES, 3)))
+
+
+def test_rope_compute_dtype_bf16_close_and_prefix_identity():
+    """`apply_rope_cat(compute_dtype=bf16)` (attn-impl bf16 throughput mode,
+    commit 8560a3a) must stay within bf16 rounding of the fp32 rotation, and
+    the identity-prefix (CLS) rows must pass through bit-unchanged."""
+    from mrclip_tpu.models.layers import apply_rope_cat
+    from mrclip_tpu.ops.pos_embed import rope_cat_2d
+
+    hd = 16
+    rope = rope_cat_2d(hd, GRID, GRID)  # [HW, 2*hd]
+    x = jax.random.normal(jax.random.key(0), (2, GRID * GRID + 1, HEADS, hd))
+    x_bf = x.astype(jnp.bfloat16)
+
+    ref = apply_rope_cat(x, rope, prefix=1)  # fp32 rotation
+    got = apply_rope_cat(x_bf, rope, prefix=1, compute_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    # elementwise-relative error blows up where cos/sin terms cancel to ~0;
+    # bound the error against the tensor scale instead (bf16 eps = 2^-8)
+    err = np.abs(got.astype(np.float32) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() < 0.02 * scale, (err.max(), scale)
+    # CLS row: sin=0 / cos=1 pad rows are exact in bf16 -> bit passthrough
+    np.testing.assert_array_equal(np.asarray(got[:, 0]), np.asarray(x_bf[:, 0]))
+
+
+def test_eva02_attn_bf16_tower_matches_xla():
+    """EVA02 tower under attn_impl='bf16' (bf16 scores + bf16 rope rotation)
+    must track the xla impl at tower level: embedding cosine > 0.999."""
+    import dataclasses
+
+    sd = _mini_eva02_sd()
+    images = np.random.RandomState(11).rand(2, RES, RES, 3).astype(np.float32)
+    vis = timm_vit_to_vision_params(sd, scan_layers=False, include_head=True)
+    outs = {}
+    for impl in ("xla", "bf16"):
+        vt = dataclasses.replace(
+            _native_tower(False, None, False), attn_impl=impl, dtype=jnp.bfloat16
+        )
+        out = np.asarray(
+            vt.apply({"params": vis}, jnp.asarray(images)), dtype=np.float32
+        )
+        outs[impl] = out / np.linalg.norm(out, axis=-1, keepdims=True)
+    cos = (outs["xla"] * outs["bf16"]).sum(-1)
+    assert cos.min() > 0.999, cos
