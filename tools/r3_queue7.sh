@@ -1,10 +1,9 @@
 #!/bin/bash
-# Seventh r3 TPU queue: the chunked CoCa captioning-CE payoff — batches the
-# dense loss OOMs on (b128 RESOURCE_EXHAUSTED), streamed per sequence chunk.
+# Seventh r3 TPU queue: final-confirm the headline default, then the two
+# points stranded when the 08/19 03:10 session ended (EVA02-B infer b256,
+# ViT-L fusedp), then first-ever on-chip fusedp ViT-B point.
 cd /root/repo
 LOG=tools/r3_big_models.log
-
-until grep -q "QUEUE6 DONE" "$LOG"; do sleep 120; done
 
 probe() {
   timeout 180 python -c "import jax; assert jax.default_backend() == 'tpu', jax.default_backend(); print(jax.devices())" >> /tmp/probe.log 2>&1
@@ -17,18 +16,24 @@ wait_tunnel() {
   done
 }
 
-run1() {
-  wait_tunnel
-  echo "=== Q7 $* [try 1/1] $(date +%H:%M:%S) ===" >> "$LOG"
-  MRCLIP_BENCH_ATTEMPTS=1 timeout 4800 python bench.py "$@" >> "$LOG" 2>&1
-  rc=$?
-  echo "rc=$rc" >> "$LOG"
-  return $rc
+run() {
+  for attempt in 1 2; do
+    wait_tunnel
+    echo "=== Q7 $* [try $attempt] $(date +%H:%M:%S) ===" >> "$LOG"
+    MRCLIP_BENCH_ATTEMPTS=1 timeout 4800 python bench.py "$@" >> "$LOG" 2>&1
+    rc=$?
+    echo "rc=$rc" >> "$LOG"
+    [ $rc -eq 0 ] && return 0
+  done
+  return 1
 }
 
-# Chunked == dense numerics is CPU-tested; these measure throughput + memory.
-run1 --model coca_ViT-B-32 --batch-size 96 --loss-impl chunked
-if run1 --model coca_ViT-B-32 --batch-size 128 --loss-impl chunked; then
-  run1 --model coca_ViT-B-32 --batch-size 192 --loss-impl chunked
-fi
-echo "QUEUE7 DONE" >> "$LOG"
+# 1. Headline confirm at current defaults (what the driver will run at round end).
+run
+# 2. Stranded: EVA02-B-16 serving point.
+run --model EVA02-B-16 --infer --batch-size 256
+# 3. Stranded: fused attention on the 257-token ViT-L (pads 257->384).
+run --model ViT-L-14 --precision pure_bf16 --batch-size 16 --remat --opt adafactor --attn-impl fusedp
+# 4. fusedp on ViT-B at the headline config (never measured on chip).
+run --attn-impl fusedp
+echo "QUEUE7 DONE $(date +%H:%M:%S)" >> "$LOG"
