@@ -35,12 +35,35 @@ def init_distributed() -> Tuple[int, int]:
     """Multi-host init (replaces reference distributed.py:94-198).
 
     Returns (process_index, process_count). Single-process when no
-    coordinator is configured — the TPU runtime handles rendezvous.
+    coordinator is configured — the TPU runtime handles rendezvous. On TPU
+    pods, `jax.distributed.initialize()` auto-detects the topology; for
+    explicit rendezvous (torchrun-style), set `JAX_COORDINATOR_ADDRESS`
+    plus `JAX_NUM_PROCESSES` / `JAX_PROCESS_ID` (the latter two are needed
+    because jax's own env fallback only covers the coordinator address).
+    CPU processes get gloo collectives so multi-process runs work off-TPU
+    (tests/test_multiprocess.py drives 2 real processes this way).
     """
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if coord:
+        if jax.config.jax_platforms and "cpu" in jax.config.jax_platforms:
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:  # noqa: BLE001 - older jaxlib without the knob
+                pass
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if nproc is not None and pid is not None:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        else:
+            jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
 
