@@ -143,14 +143,17 @@ def main():
     )
     parser.add_argument("--remat-policy", type=str, default="dots", choices=["full", "dots", "mlp_only"])
     parser.add_argument(
-        "--attn-impl", type=str, default="bf16",
+        "--attn-impl", type=str, default=None,
         choices=["xla", "manual", "bf16", "flash", "fused", "fusedp"],
-        help="attention kernel. Default bf16: score/prob tensors stored in "
-        "the compute dtype (halves attention HBM traffic; measured +9%% at "
-        "b80, learnability-validated). xla = fp32 scores "
-        "(strict-parity numerics), flash = loop-based Pallas flash kernel "
-        "(long-seq configs), fused = single-tile Pallas kernel (whole "
-        "sequence VMEM-resident, no HBM score matrix)",
+        help="attention kernel. Default: fusedp (packed-layout Pallas "
+        "kernel, scores VMEM-resident; 892 vs 863 pairs/s at b88) for the "
+        "headline ViT-B-16 train point, bf16 (score/prob tensors stored in "
+        "the compute dtype) everywhere else — fusedp pads the sequence to "
+        "the kernel tile, which loses at e.g. ViT-L-14's 257 tokens "
+        "(216.8 vs 228.2 measured). xla = fp32 scores (strict-parity "
+        "numerics), flash = loop-based Pallas flash kernel (long-seq "
+        "configs), fused = single-tile Pallas kernel (whole sequence "
+        "VMEM-resident, no HBM score matrix)",
     )
     parser.add_argument(
         "--gelu-approx", action=argparse.BooleanOptionalAction, default=True,
@@ -260,6 +263,14 @@ def main():
         vocab = mcfg.get("text_cfg", {}).get("vocab_size", 49408)
 
     attn_impl = args.attn_impl
+    if attn_impl is None:
+        # fusedp measured 891.97/893.58 pairs/s at b88/b84 (vs 863.5 bf16)
+        # on the headline ViT-B-16 train point and is learnability-validated
+        # (smoke_learn fusedp R@1=1.0); its tile padding loses on other
+        # shapes (ViT-L-14 257 tokens: 216.8 vs 228.2), so non-default
+        # models and the serving path keep the bf16 default.
+        headline = on_tpu and not args.quick and args.model is None and not args.infer
+        attn_impl = "fusedp" if headline else "bf16"
     model, variables = create_model(
         model_name,
         precision=args.precision or ("bf16" if on_tpu else "fp32"),

@@ -321,9 +321,15 @@ class MultiHeadAttention(nn.Module):
 
         if rope is not None:
             assert kv is None, "rope applies to self-attention only"
-            # under the bf16 score-storage mode, rotate in compute dtype too
-            # (the fp32 round-trip is pure HBM bytes on a BW-bound op)
-            rdt = self.dtype if self.attn_impl == "bf16" else None
+            # under the throughput modes (bf16 score storage, Pallas fused
+            # kernels), rotate in compute dtype too — the fp32 round-trip is
+            # pure HBM bytes on a BW-bound op, and the Pallas kernels consume
+            # compute-dtype q/k anyway so fp32 rotation buys nothing.
+            rdt = (
+                self.dtype
+                if self.attn_impl in ("bf16", "flash", "fused", "fusedp")
+                else None
+            )
             q = apply_rope_cat(q, rope, rope_prefix, compute_dtype=rdt)
             k = apply_rope_cat(k, rope, rope_prefix, compute_dtype=rdt)
 

@@ -142,6 +142,29 @@ def test_full_model_forward_matches_xla():
         assert float(jnp.abs(a - b).max()) < 1e-4
 
 
+def test_fusedp_eva02_tower_matches_xla():
+    """fusedp under the EVA02 block recipe (axial 2D rope on q/k, sub-LN
+    inside attention, SwiGLU MLP) == xla attention: the rope rotation
+    happens OUTSIDE the kernel on already-projected q/k, so the kernel must
+    be oblivious to it — this pins the composition the EVA02 bench configs
+    run (`bench.py --model EVA02-B-16 --attn-impl fusedp`)."""
+    from mrclip_tpu.models.vision import VisionTransformer
+
+    feats = {}
+    imgs = jnp.asarray(np.random.RandomState(3).rand(2, 16, 16, 3), jnp.float32)
+    for impl in ("xla", "fusedp"):
+        vt = VisionTransformer(
+            image_size=16, patch_size=4, width=32, layers=2, heads=2,
+            mlp_ratio=4 * 2 / 3, output_dim=24, patch_bias=True,
+            no_ln_pre=True, pool_type="tok", use_rope=True,
+            rope_ref_feat_shape=(8, 8), mlp_type="swiglu", mlp_norm=True,
+            attn_inner_norm=True, ln_eps=1e-6, attn_impl=impl,
+        )
+        variables = vt.init(jax.random.PRNGKey(0), imgs)
+        feats[impl] = vt.apply(variables, imgs)
+    assert float(jnp.abs(feats["xla"] - feats["fusedp"]).max()) < 1e-4
+
+
 def test_fusedp_sharded_matches_unsharded():
     """fusedp under a dp2 x tp2 GSPMD mesh == unsharded XLA attention, for
     both the forward value and (dq, dk, dv): the custom_partitioning rules
