@@ -86,6 +86,14 @@ def _maybe_rerun_with_retries():
     attempts = max(1, int(os.environ.get("MRCLIP_BENCH_ATTEMPTS", "3")))
     if attempts == 1:
         return None
+    # Serialize on the exclusive chip BEFORE spawning the first attempt:
+    # holding the flock in the parent covers every retry child (they inherit
+    # MRCLIP_CHIP_LOCKED and skip re-locking), so a concurrent queue script
+    # can never interleave between attempts. Importing jax here does not
+    # initialize a backend; children still get fresh ones.
+    from mrclip_tpu.utils import acquire_chip_lock
+
+    acquire_chip_lock()
     env = dict(os.environ, MRCLIP_BENCH_INNER="1")
     # Per-attempt wall cap: a dead tunnel makes axon backend init BLOCK
     # (it does not fast-fail), which would hang the caller forever without
@@ -209,8 +217,10 @@ def main():
     if _envp and _envp.lower() != "axon":
         jax.config.update("jax_platforms", _envp)
 
-    from mrclip_tpu.utils import enable_compilation_cache
+    from mrclip_tpu.utils import acquire_chip_lock, enable_compilation_cache
 
+    # No-op on CPU and when the retry-wrapper parent already holds it.
+    acquire_chip_lock()
     enable_compilation_cache()
 
     import jax.numpy as jnp
@@ -266,11 +276,16 @@ def main():
     if attn_impl is None:
         # fusedp measured 891.97/893.58 pairs/s at b88/b84 (vs 863.5 bf16)
         # on the headline ViT-B-16 train point and is learnability-validated
-        # (smoke_learn fusedp R@1=1.0); its tile padding loses on other
-        # shapes (ViT-L-14 257 tokens: 216.8 vs 228.2), so non-default
-        # models and the serving path keep the bf16 default.
+        # (smoke_learn fusedp R@1=1.0); EVA02-B-16 (same 197-token packed
+        # layout) measured 749.6 vs 608.2 at b64 (+23%, r4_bench.log). Its
+        # tile padding loses on other shapes (ViT-L-14 257 tokens: 216.8 vs
+        # 228.2) and at small serving batches (b8 infer: 2396 vs 2895), so
+        # other models and the serving path keep the bf16 default.
         headline = on_tpu and not args.quick and args.model is None and not args.infer
-        attn_impl = "fusedp" if headline else "bf16"
+        fusedp_wins = headline or (
+            on_tpu and not args.infer and args.model in ("ViT-B-16", "EVA02-B-16")
+        )
+        attn_impl = "fusedp" if fusedp_wins else "bf16"
     model, variables = create_model(
         model_name,
         precision=args.precision or ("bf16" if on_tpu else "fp32"),
@@ -335,6 +350,10 @@ def main():
         chunked_loss = args.loss_impl == "chunked"
         pallas_loss = args.loss_impl == "pallas"
         loss_chunk_size = 1024
+        # Keep the streamed captioning-CE chunk's [B, chunk, vocab] fp32
+        # logits at a constant byte budget as batch grows (16 was measured
+        # at b96; b128 with 16 OOMed the 15.75G chip).
+        caption_chunk_size = max(4, (16 * 96) // batch)
 
     tx = create_optimizer(
         lr=1e-4, wd=0.2, opt=args.opt,

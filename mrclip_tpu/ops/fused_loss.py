@@ -179,8 +179,12 @@ def chunked_caption_xent(
         nll_sum, cnt = carry
         h, y = chunk  # [B, C, D], [B, C]
         z = (h @ proj_c).astype(jnp.float32)  # [B, C, V]
-        logp = jax.nn.log_softmax(z, axis=-1)
-        nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        # NLL via logsumexp - z[label]: only `z` is ever [B, C, V]-live.
+        # (log_softmax would materialize a SECOND fp32 [B, C, V] for logp —
+        # 400 MB extra at B=128/C=16/V=49408, the b128 OOM margin.)
+        lse = jax.nn.logsumexp(z, axis=-1)
+        zy = jnp.take_along_axis(z, y[..., None], axis=-1)[..., 0]
+        nll = lse - zy
         valid = (y != pad_id).astype(jnp.float32)
         return (nll_sum + jnp.sum(nll * valid), cnt + jnp.sum(valid)), None
 

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from .. import checkpoint as ckpt
-from ..utils import enable_compilation_cache
+from ..utils import acquire_chip_lock, enable_compilation_cache
 from ..factory import create_loss, create_model_and_transforms, get_model_config, get_tokenizer
 from ..data import get_data
 from ..ops.image_ops import random_augment_batch
@@ -72,6 +72,10 @@ def main(args=None):
     if _envp and _envp.lower() != "axon":
         jax.config.update("jax_platforms", _envp)
 
+    # Serialize access to the exclusive single chip (no-op on CPU): two TPU
+    # processes queue/corrupt each other's throughput, so every TPU entry
+    # point blocks on the same flock before touching the backend.
+    acquire_chip_lock()
     enable_compilation_cache()
 
     rank, world_size = init_distributed()

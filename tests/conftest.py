@@ -25,13 +25,18 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
 
-# Persistent compilation cache: the suite's cost is dominated by jit
-# compiles of tiny models; entries slower than the 5 s threshold (the 32k
-# scale-lowering programs, mesh train steps) are reused across suite runs.
-# Same MRCLIP_JAX_CACHE="" opt-out as the CLIs.
+# Persistent compilation cache: DISABLED by default on the CPU backend —
+# XLA:CPU AOT cache entries can abort the interpreter on load (r3's
+# suite-wide SIGABRT from a poisoned .jax_cache/). Opt in with
+# MRCLIP_JAX_CACHE_CPU=1; the crash sentinel then wipes the cache subdir
+# after an unclean exit so a poisoned entry can't kill two runs in a row.
+# (TPU tunnel caching in the CLIs is unaffected — that path is reliable.)
 from mrclip_tpu.utils import enable_compilation_cache  # noqa: E402
 
-enable_compilation_cache(default_dir=os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+enable_compilation_cache(
+    default_dir=os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    crash_sentinel=True,
+)
 
 import pytest  # noqa: E402
 

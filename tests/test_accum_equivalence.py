@@ -40,6 +40,7 @@ def _batch(n):
     }
 
 
+@pytest.mark.slow
 def test_cached_accum_loss_matches_full_batch():
     model, variables = create_model("ViT-B-32-mini")
     loss_apply = make_loss_apply(create_loss(Args()))

@@ -13,6 +13,7 @@ from mrclip_tpu.hub import export_torch_state_dict
 from mrclip_tpu.parallel import create_optimizer, create_train_state
 
 
+@pytest.mark.slow
 def test_factory_pretrained_path(tmp_path):
     """create_model(pretrained=<torch .pt>) reproduces the source model."""
     import torch

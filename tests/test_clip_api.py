@@ -61,6 +61,7 @@ def test_frozen_logit_scale():
     )
 
 
+@pytest.mark.slow
 def test_logitscaletrainable_cli_trains_at_scale_10(tmp_path):
     """--logitscaletrainable freezes the temperature at ln(10) (reference
     model.py:254-258) and it survives training unchanged."""

@@ -86,6 +86,7 @@ def test_generation(coca, mode):
             assert (row[eots[0] + 1 :] == 0).all()
 
 
+@pytest.mark.slow
 def test_chunked_caption_loss_matches_dense(coca):
     """coca_loss_chunked == coca_loss (value + grads), incl. the pad tail
     (T=23 is not divisible by chunk 5) and pad-label masking."""
@@ -121,6 +122,7 @@ def test_chunked_caption_loss_matches_dense(coca):
     assert maxdiff < 1e-5, f"grad maxdiff {maxdiff}"
 
 
+@pytest.mark.slow
 def test_chunked_coca_dispatch_and_train_step(coca):
     """factory dispatches coca + chunked_loss to the streaming captioning CE
     and the train-step adapter feeds it caption_hidden/caption_proj."""

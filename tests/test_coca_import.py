@@ -87,6 +87,7 @@ class TorchCrossBlock(torch.nn.Module):
         return x + self.mlp(self.ln_2(x))
 
 
+@pytest.mark.slow
 def test_cross_block_import_parity():
     from mrclip_tpu.models.transformer import ResidualAttentionBlock
 

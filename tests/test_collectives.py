@@ -94,8 +94,10 @@ def _compiled_step_hlo(mesh):
     return lowered.compile().as_text()
 
 
-@pytest.mark.parametrize("axes", [dict(dp=4, fsdp=2, tp=1),
-                                  dict(dp=2, fsdp=2, tp=2)])
+@pytest.mark.parametrize("axes", [
+    pytest.param(dict(dp=4, fsdp=2, tp=1), marks=pytest.mark.slow),
+    dict(dp=2, fsdp=2, tp=2),  # default: the densest mix (dp+fsdp+tp)
+])
 def test_train_step_collectives_are_the_designed_ones(axes):
     mesh = create_mesh(**axes)
     coll = _collective_bytes(_compiled_step_hlo(mesh))

@@ -129,6 +129,7 @@ def test_convnext_base_w_config_builds():
     assert out["text_features"].shape == (2, 640)
 
 
+@pytest.mark.slow
 def test_convnext_remat_matches_no_remat():
     """Per-block jax.checkpoint must not change the forward numerics."""
     sd = _tiny_convnext_sd(seed=5)

@@ -5,6 +5,7 @@ shuffles); on TPU the whole train step is a deterministic XLA program, so we
 can assert bit-identical losses, which the reference never could.
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -51,6 +52,7 @@ def test_same_seed_bitwise_identical():
     assert _run(0) == _run(0)
 
 
+@pytest.mark.slow
 def test_different_seed_differs():
     assert _run(0) != _run(1)
 

@@ -14,6 +14,7 @@ import jax
 REPO = __file__.rsplit("/tests/", 1)[0]
 
 
+@pytest.mark.slow
 def test_bench_quick_cli():
     """`python bench.py --quick` prints exactly one valid JSON metric line."""
     out = subprocess.run(
@@ -33,6 +34,7 @@ def test_bench_quick_cli():
     assert rec["value"] > 0 and np.isfinite(rec["value"])
 
 
+@pytest.mark.slow
 def test_bench_quick_infer_cli():
     """`python bench.py --quick --infer` prints one imgs/sec JSON line."""
     out = subprocess.run(
@@ -77,6 +79,7 @@ def test_bench_retry_wrapper():
     assert out.stderr.count("unrecognized arguments") == 1
 
 
+@pytest.mark.slow
 def test_graft_entry_forward():
     import __graft_entry__ as ge
 
@@ -86,6 +89,7 @@ def test_graft_entry_forward():
     assert bool(np.all(np.isfinite(np.asarray(logits, np.float32))))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess():
     """Run in a subprocess the way the driver does (needs the virtual
     device flag set before jax initializes)."""

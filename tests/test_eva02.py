@@ -211,6 +211,7 @@ def test_eva02_quansun_naming_alias():
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(x, y), a, b)
 
 
+@pytest.mark.slow
 def test_eva02_configs_build_and_tags():
     from mrclip_tpu.factory import create_model
     from mrclip_tpu.pretrained import get_pretrained_cfg, list_pretrained_tags_by_model
@@ -264,6 +265,7 @@ def test_eva02_trunk_layout_conversion():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 def test_eva02_swiglu_tp_sharded_and_steps():
     """TP rules cover the SwiGLU naming: fc1_g/fc1_x shard column-parallel,
     fc2 row-parallel, and a grad step over dp2 x fsdp2 x tp2 matches the

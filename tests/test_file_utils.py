@@ -42,24 +42,42 @@ def test_unknown_protocol_rejected(tmp_path):
 
 
 def test_enable_compilation_cache(tmp_path, monkeypatch):
-    """MRCLIP_JAX_CACHE redirects the persistent cache; "" disables setup."""
+    """MRCLIP_JAX_CACHE redirects the persistent cache; "" disables setup.
+
+    On the CPU backend (this suite) the cache is refused by default —
+    XLA:CPU AOT deserialization can abort the interpreter (r3's suite-wide
+    SIGABRT) — and only enabled with MRCLIP_JAX_CACHE_CPU=1, namespaced
+    into a jaxlib-version/backend/ISA subdir of the requested path.
+    """
     import jax
 
     from mrclip_tpu.utils import enable_compilation_cache
 
     prev = jax.config.jax_compilation_cache_dir
     try:
+        # Default on CPU: refused (returns None, config untouched).
         monkeypatch.setenv("MRCLIP_JAX_CACHE", str(tmp_path / "c"))
-        enable_compilation_cache()
-        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
-
-        monkeypatch.setenv("MRCLIP_JAX_CACHE", "")
+        monkeypatch.delenv("MRCLIP_JAX_CACHE_CPU", raising=False)
         jax.config.update("jax_compilation_cache_dir", prev)
-        enable_compilation_cache()  # no-op: must not override the restore
+        assert enable_compilation_cache() is None
         assert jax.config.jax_compilation_cache_dir == prev
 
+        # Opt-in: enabled under a namespaced subdir of the requested path.
+        monkeypatch.setenv("MRCLIP_JAX_CACHE_CPU", "1")
+        got = enable_compilation_cache()
+        assert got is not None and got.startswith(str(tmp_path / "c"))
+        assert jax.config.jax_compilation_cache_dir == got
+
+        # Empty string disables: must not override a caller's config.
+        monkeypatch.setenv("MRCLIP_JAX_CACHE", "")
+        jax.config.update("jax_compilation_cache_dir", prev)
+        assert enable_compilation_cache() is None
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        # default_dir fallback when the env var is unset.
         monkeypatch.delenv("MRCLIP_JAX_CACHE")
-        enable_compilation_cache(default_dir=str(tmp_path / "d"))
-        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "d")
+        got = enable_compilation_cache(default_dir=str(tmp_path / "d"))
+        assert got is not None and got.startswith(str(tmp_path / "d"))
+        assert jax.config.jax_compilation_cache_dir == got
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)

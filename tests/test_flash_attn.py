@@ -86,6 +86,7 @@ def test_clip_model_bf16_scores_equals_xla_in_fp32():
         assert float(jnp.abs(out_x[key] - out_b[key]).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_clip_model_bf16_scores_close_under_bf16_compute():
     """Under bf16 compute the bf16-score path loses ~1 bf16 ulp on the
     logits; embeddings must stay essentially parallel to the xla path."""
@@ -106,6 +107,7 @@ def test_clip_model_bf16_scores_close_under_bf16_compute():
         assert cos.min() > 0.999, f"{key} cosine {cos.min()}"
 
 
+@pytest.mark.slow
 def test_clip_model_flash_equals_xla():
     """Full mini-CLIP forward: attn_impl='flash' == attn_impl='xla'."""
     from mrclip_tpu.factory import create_model

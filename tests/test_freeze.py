@@ -55,6 +55,7 @@ def _run_step(args):
     return variables["params"], new_state.params
 
 
+@pytest.mark.slow
 def test_lock_image_freezes_visual():
     args = Args()
     args.lock_image = True
@@ -65,6 +66,7 @@ def test_lock_image_freezes_visual():
     assert max(txt_delta) > 0.0
 
 
+@pytest.mark.slow
 def test_lock_image_unlocked_proj():
     args = Args()
     args.lock_image = True
@@ -78,6 +80,7 @@ def test_lock_image_unlocked_proj():
     ) == 0.0
 
 
+@pytest.mark.slow
 def test_freeze_text_except_last():
     args = Args()
     args.freeze = True

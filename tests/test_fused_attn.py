@@ -39,6 +39,7 @@ def test_matches_xla_attention(b, n, nk, h, causal, fn):
 
 
 @pytest.mark.parametrize("n,causal", [(197, False), (98, True)])
+@pytest.mark.slow
 def test_grads_match_xla_attention(n, causal):
     rng = np.random.RandomState(1)
     q, k, v = (jnp.asarray(rng.randn(2, n, 2, 64), jnp.float32) for _ in range(3))
@@ -83,6 +84,7 @@ def test_bf16_inputs_match_bf16_impl():
     assert float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()) < 2e-2
 
 
+@pytest.mark.slow
 def test_scan_stack_and_remat():
     """fusedp inside an nn.scan-stacked tower (deep-model path) matches xla,
     and grads stay finite under jax.checkpoint-over-custom-vjp."""
@@ -109,6 +111,7 @@ def test_scan_stack_and_remat():
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_multi_device_mesh_rejects_fused(tmp_path):
     """pallas_call is GSPMD-opaque: the train CLI must fail loudly, not with
     a deep partitioner error, when --attn-impl fused meets a device mesh
@@ -123,6 +126,7 @@ def test_multi_device_mesh_rejects_fused(tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_full_model_forward_matches_xla():
     """CLIP forward with attn_impl='fused' == attn_impl='xla'.
 
@@ -165,6 +169,7 @@ def test_fusedp_eva02_tower_matches_xla():
     assert float(jnp.abs(feats["xla"] - feats["fusedp"]).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_fusedp_sharded_matches_unsharded():
     """fusedp under a dp2 x tp2 GSPMD mesh == unsharded XLA attention, for
     both the forward value and (dq, dk, dv): the custom_partitioning rules

@@ -55,6 +55,7 @@ def _build(pooler="mean_pooler", proj="mlp"):
     return model, dict(variables), imgs, toks
 
 
+@pytest.mark.slow
 def test_hf_params_in_tree_and_forward():
     model, variables, imgs, toks = _build()
     params = variables["params"]
@@ -67,12 +68,14 @@ def test_hf_params_in_tree_and_forward():
 
 
 @pytest.mark.parametrize("pooler", ["mean_pooler", "cls_pooler", "max_pooler"])
+@pytest.mark.slow
 def test_hf_poolers(pooler):
     model, variables, imgs, toks = _build(pooler=pooler)
     out = model.apply(variables, imgs, toks)
     assert np.isfinite(np.asarray(out["text_features"])).all()
 
 
+@pytest.mark.slow
 def test_hf_tower_trains_end_to_end():
     """Fine-tuning moves HF weights and decreases the loss (the round-1
     adapter silently gave them zero gradients)."""
@@ -167,6 +170,7 @@ def test_hf_lock_layer_norm_unfrozen_option():
     assert other_vals and all(v == 0.0 for v in other_vals)
 
 
+@pytest.mark.slow
 def test_hf_t5_tower_oracle_parity():
     """t5/mt5 text towers (reference hf_model.py:117-126 keeps the seq2seq
     model's encoder half) run through FlaxT5EncoderModule; a reference-layout
@@ -245,6 +249,7 @@ def test_hf_t5_tower_oracle_parity():
     assert all(v == 0.0 for v in jax.tree.leaves(hf_mask["shared"]))
 
 
+@pytest.mark.slow
 def test_biomed_config_builds_offline():
     """ViT-B-16-biomed builds abstractly with zero hub access (inline
     hf_model_config); weight download is a separate, gated overlay."""
@@ -259,6 +264,7 @@ def test_biomed_config_builds_offline():
     assert out["text_features"].shape == (2, 512)
 
 
+@pytest.mark.slow
 def test_hf_torch_checkpoint_import_parity():
     """An open_clip-layout checkpoint with an HF text tower
     (`text.transformer.*` torch keys + `text.proj.{0,2}` mlp, reference
@@ -316,6 +322,7 @@ def test_hf_torch_checkpoint_import_parity():
     np.testing.assert_allclose(a, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_hf_roberta_position_offset_parity():
     """Roberta-family towers must use padding-offset position ids
     (pad_idx+1..., transformers create_position_ids_from_input_ids) — plain

@@ -24,6 +24,7 @@ from mrclip_tpu.pretrained import (
 )
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip():
     _, variables = create_model("ViT-B-32-mini", scan_layers=True)
     params = variables["params"]
@@ -119,6 +120,7 @@ def test_big_vision_converter():
     )
 
 
+@pytest.mark.slow
 def test_save_for_hf(tmp_path):
     _, variables = create_model("ViT-B-32-mini", scan_layers=True)
     save_for_hf(

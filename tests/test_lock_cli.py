@@ -2,6 +2,7 @@
 params frozen across training while the text tower moves (reference
 main.py:287-300, model.py lock())."""
 
+import pytest
 import numpy as np
 
 from mrclip_tpu.factory import create_model
@@ -18,6 +19,7 @@ def _leaves(params, prefix):
     }
 
 
+@pytest.mark.slow
 def test_lock_image_cli(tmp_path):
     state = train_main([
         "--dataset-type", "synthetic", "--train-num-samples", "16",

@@ -76,12 +76,14 @@ def test_distance_loss_train(mini):
     assert "image_to_text_loss" in m
 
 
+@pytest.mark.slow
 def test_lam_loss_train(mini):
     model, variables = mini
     m = _step_once(_args(lam=0.3), model, variables, _batch())
     assert "loss_img_to_img" in m
 
 
+@pytest.mark.slow
 def test_siglip_loss_train():
     # SigLIP config has logit_bias + no causal mask + 'last' pooling.
     from mrclip_tpu.factory import _MODEL_CONFIGS
@@ -102,6 +104,7 @@ def test_siglip_loss_train():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_vision_only_loss_train(mini):
     model, variables = mini
     from mrclip_tpu.train.vision_only import build_vision_only_step

@@ -135,6 +135,7 @@ def test_hf_pad_id_falls_back_to_config():
     assert np.abs(out_none - out_0).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_m2m100_clip_text_tower_builds_and_trains():
     """CLIP with an m2m_100 text tower: forward + grads flow (reference
     builds nllb-clip via CustomTextCLIP + HFTextEncoder)."""

@@ -132,6 +132,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_matches_single_process():
     port = _free_port()
     procs = []

@@ -87,6 +87,7 @@ def test_logit_scale_gradient_matches_dense():
     np.testing.assert_allclose(float(g_pallas), float(g_dense), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_non_divisible_batch_matches_dense():
     """Batches that don't divide the block size must shrink the block to a
     divisor instead of silently dropping the tail (n_q=12 @ block 8 used to

@@ -34,6 +34,7 @@ def test_resolve_act_norm():
         _resolve_act_norm(False, None, {"elementwise_affine": False}, "t")
 
 
+@pytest.mark.slow
 def test_clipa_config_changes_numerics():
     """A CLIPA-style mini config (tanh GELU + eps 1e-6) must produce
     different numerics from the same config without the kwargs — proving
@@ -198,6 +199,7 @@ def test_convnext_drop_path():
     assert float(jnp.abs(t - a).max()) > 0.0, "drop_path inert in train mode"
 
 
+@pytest.mark.slow
 def test_vit_drop_path_unrolled_and_scan_guard():
     from mrclip_tpu.models.vision import VisionTransformer
 
@@ -220,6 +222,7 @@ def test_vit_drop_path_unrolled_and_scan_guard():
                       rngs={"dropout": jax.random.key(1)})
 
 
+@pytest.mark.slow
 def test_convnext_large_d_trains_with_drop_path():
     """The registered config (timm_drop_path=0.1) takes a real train step."""
     from mrclip_tpu.factory import _MODEL_CONFIGS, create_loss, create_model
@@ -258,6 +261,7 @@ def test_convnext_large_d_trains_with_drop_path():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_remat_with_train_mode_dropout_and_drop_path():
     """nn.remat blocks must accept train mode: deterministic is pinned
     static (static_argnums) so drop_path/textdropout work under remat
@@ -282,7 +286,11 @@ def test_remat_with_train_mode_dropout_and_drop_path():
     txt.apply(vt, toks, deterministic=False, rngs={"dropout": jax.random.key(1)})
 
 
-@pytest.mark.parametrize("opt", ["sgd", "lion", "adafactor"])
+@pytest.mark.parametrize("opt", [
+    "sgd",  # default rep; lion/adafactor (~25s compiles) under --runslow
+    pytest.param("lion", marks=pytest.mark.slow),
+    pytest.param("adafactor", marks=pytest.mark.slow),
+])
 def test_optimizer_variants_step(opt):
     """Non-adamw optimizers (reference --opt delegates to timm; optax
     covers the space natively) take a finite train step and move params."""

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 80s RN50 fixture + 40s steps; fast RN parity lives in test_resnet_import.py
+
 import jax
 import jax.numpy as jnp
 

@@ -197,6 +197,7 @@ def test_rn_config_inference():
     assert cfg["text_cfg"]["context_length"] == 12
 
 
+@pytest.mark.slow
 def test_rn_factory_pretrained_load(tmp_path):
     """create_model(pretrained=<RN .pt>) overlays params AND batch_stats."""
     torch = pytest.importorskip("torch")

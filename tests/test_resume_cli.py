@@ -1,6 +1,7 @@
 """`--resume latest` through the training CLI: a second invocation picks up
 the saved epoch and continues (reference main.py:401-420)."""
 
+import pytest
 from mrclip_tpu.train.main import main as train_main
 
 
@@ -14,6 +15,7 @@ def _args(tmp_path, epochs):
     ]
 
 
+@pytest.mark.slow
 def test_resume_latest_continues(tmp_path):
     state1 = train_main(_args(tmp_path, 1))
     assert int(state1.step) == 2  # 16 samples / batch 8

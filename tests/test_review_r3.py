@@ -123,6 +123,7 @@ def test_export_model_frozen_scale_and_bias():
     assert exported.meta["logit_bias"] == 0.0
 
 
+@pytest.mark.slow
 def test_hub_export_siglip_raises_cleanly():
     from mrclip_tpu.hub import export_torch_state_dict
 

@@ -45,6 +45,7 @@ def _batch(n, seed=0, ctx=32, vocab=49408, size=64):
     }
 
 
+@pytest.mark.slow
 def test_plain_accum_averages_microbatch_grads():
     """With SGD(lr=1, no momentum/wd) the param delta IS the gradient:
     one accum_freq=2 step from p0 must equal the MEAN of the two
@@ -101,6 +102,7 @@ def rn_mini():
     return create_model("RN50-mini-accum")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cached", [False, True])
 def test_bn_stats_update_under_accum(rn_mini, cached):
     """BatchNorm running statistics must move on an accum_freq=2 step

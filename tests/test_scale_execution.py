@@ -70,6 +70,7 @@ def _run_step(mesh, loss_args, batch_np, remat=False):
     return state, metrics
 
 
+@pytest.mark.slow
 def test_chunked_equals_dense_at_2048_fsdp_tp_remat():
     """One executed 2048-batch step, dp2 x fsdp2 x tp2 + remat: the streaming
     chunked loss must match the dense NxN loss and produce the same update."""
@@ -92,6 +93,7 @@ def test_chunked_equals_dense_at_2048_fsdp_tp_remat():
     assert max(jax.tree.leaves(diffs)) < 1e-4
 
 
+@pytest.mark.slow
 def test_second_step_decreases_loss_at_scale():
     """Two executed steps at 2048: optimization makes progress under the
     sharded chunked-loss config (finite grads that actually move the loss)."""
@@ -111,6 +113,7 @@ def test_second_step_decreases_loss_at_scale():
     assert losses[1] < losses[0], f"no progress: {losses}"
 
 
+@pytest.mark.slow
 def test_attn_bf16_executes_on_mesh():
     """The production-default bf16-score attention (bench default) must
     shard under dp/fsdp/tp GSPMD like the xla path: one executed step,
@@ -137,6 +140,7 @@ def test_attn_bf16_executes_on_mesh():
     assert abs(losses["bf16"] - losses["xla"]) < 1e-5, losses
 
 
+@pytest.mark.slow
 def test_cached_feature_accum_executes_on_mesh():
     """The reference's cached-feature gradient accumulation (train.py:134-183)
     executes under the GSPMD mesh: 4 microbatches of 128 = 512 accumulated."""
@@ -159,6 +163,7 @@ def test_cached_feature_accum_executes_on_mesh():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_hf_text_tower_tp_sharded_and_steps():
     """TP rules cover the HF Flax naming scheme (VERDICT r2 item 8): the
     tiny-BERT tower's query/key/value + intermediate kernels shard on the

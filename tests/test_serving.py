@@ -33,6 +33,7 @@ def test_export_roundtrip(tmp_path):
     assert served.meta["context_length"] == 32
 
 
+@pytest.mark.slow
 def test_export_int8_roundtrip(tmp_path):
     """W8A8 export: artifact reloads without model code and stays parallel
     to the fp32 embeddings (ops/quant.py)."""
@@ -87,6 +88,7 @@ def test_export_cli_roundtrip(tmp_path):
     assert np.asarray(feats).shape == (2, 64)
 
 
+@pytest.mark.slow
 def test_export_cli_attn_bf16(tmp_path):
     """--attn-impl bf16 --precision bf16 bakes the measured serving-throughput
     attention mode into the artifact (bench --infer's configuration)."""
@@ -102,6 +104,7 @@ def test_export_cli_attn_bf16(tmp_path):
     assert np.all(np.isfinite(np.asarray(feats, np.float32)))
 
 
+@pytest.mark.slow
 def test_export_symbolic_batch(tmp_path):
     model, variables = create_model("ViT-B-32-mini")
     exported = export_model(model, variables, batch_size=None)
@@ -113,6 +116,7 @@ def test_export_symbolic_batch(tmp_path):
         assert np.asarray(out).shape == (b, 64)
 
 
+@pytest.mark.slow
 def test_export_in_memory_callable():
     """export_model's in-memory result must be usable without a save/load
     round-trip (regression: raw jax.export.Exported is not callable)."""
@@ -126,6 +130,7 @@ def test_export_in_memory_callable():
     assert exported.logits(images, tokens).shape == (2, 2)
 
 
+@pytest.mark.slow
 def test_export_rn50_batch_stats_tower(tmp_path):
     """BN towers (RN family) export/serve: batch_stats baked into the
     artifact, eval-mode statistics."""

@@ -168,6 +168,7 @@ def _released_layout_checkpoint(cfg, seed=0):
     return sd
 
 
+@pytest.mark.slow
 def test_webli_released_layout_loads_and_runs(tmp_path):
     """End-to-end: a ViT-B-16-SigLIP-shaped (scaled-down: tiny trunk)
     checkpoint in the released webli layout loads through create_model's

@@ -61,6 +61,7 @@ def model_and_state():
     return model, state, tx, mesh
 
 
+@pytest.mark.slow
 def test_train_step_loss_decreases(model_and_state):
     model, state, tx, mesh = model_and_state
     loss_fn = create_loss(Args())
@@ -98,6 +99,7 @@ def test_accum_matches_single_step_direction():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_cached_features_accum():
     """Reference cached-feature accumulation scheme compiles + runs."""
     model, variables = create_model("ViT-B-32-mini")

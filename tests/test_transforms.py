@@ -154,6 +154,7 @@ def test_native_backend_accepts_color_extras():
     validate_aug_cfg(AugmentationCfg(scale=(0.8, 1.0)), backend="native")
 
 
+@pytest.mark.slow
 def test_device_color_jitter_and_grayscale():
     import jax
     import jax.numpy as jnp
