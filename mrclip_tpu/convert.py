@@ -470,21 +470,26 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
         # patchify tower cannot host them.
         if "image_encoder.model.patch_embed.0.rbr_conv.0.conv.weight" in keys:
             raise NotImplementedError(
-                "MobileCLIP-S1/S2 image towers are FastViT/MCi hybrids "
-                "(reparameterized conv blocks; reference convert.py:155-157) "
-                "with no TPU-native port. The text tower alone would map, "
-                "but a partial load is not useful; use a ViT/RN config with "
-                "an open_clip-format checkpoint instead."
+                "MobileCLIP-S1/S2 checkpoints ship TRAIN-TIME FastViT "
+                "weights (parallel rbr_conv reparam branches + BN running "
+                "stats; reference convert.py:155-157 folds them via timm's "
+                "checkpoint_filter_fn). The native tower "
+                "(models/fastvit.py FastViT, config MobileCLIP-S1/S2) is "
+                "the fused deploy form with LN — loading these weights "
+                "needs the branch-fusion remap validated against a timm "
+                "oracle, which this environment cannot run. The model "
+                "itself builds and trains natively."
             )
         if "image_encoder.model.patch_emb.0.block.conv.weight" in keys:
             raise NotImplementedError(
-                "MobileCLIP-B's image tower is a conv-stem HYBRID ViT "
-                "(corenet patch_emb = stacked conv+BN blocks, mapped by the "
-                "reference onto timm vision_transformer_hybrid, "
-                "convert.py:158-159) — not the plain conv-patchify ViT this "
-                "framework implements. Porting it needs a native hybrid "
-                "stem module + stem-weight remap; the transformer blocks "
-                "and text tower would map 1:1."
+                "MobileCLIP-B checkpoints carry a corenet conv+BN hybrid "
+                "stem (reference convert.py:158-159 maps it via timm "
+                "vision_transformer_hybrid). The native tower "
+                "(models/fastvit.py HybridViT, config MobileCLIP-B) uses "
+                "an LN conv stem — loading needs the BN-folding stem remap "
+                "validated against a timm oracle. The model itself builds "
+                "and trains natively; the transformer blocks and text "
+                "tower would map 1:1."
             )
         raise NotImplementedError(
             "Unrecognized MobileCLIP checkpoint layout (reference "
@@ -560,6 +565,19 @@ def convert_state_dict(sd: Mapping, **kwargs) -> dict:
                 np.asarray(sd["visual.head.proj.weight"]).T
             )
         return params
+    if any(k.startswith("visual.trunk.") for k in keys):
+        # TimmModel trunk that is neither a plain ViT nor a ConvNeXt —
+        # ViTamin hybrids (reference pretrained.py:554-599) land here. The
+        # native tower (models/vitamin.py, configs ViTamin-*) builds and
+        # trains; loading released weights needs the timm vitamin key remap
+        # validated against an oracle this environment cannot run.
+        raise NotImplementedError(
+            "open_clip TimmModel checkpoint with an unrecognized trunk "
+            "layout (ViTamin and other conv-hybrid trunks). The native "
+            "ViTamin tower exists (models/vitamin.py); checkpoint "
+            "conversion is gated pending a timm oracle for the trunk "
+            "state-dict layout."
+        )
     from .checkpoint import import_torch_state_dict
 
     return import_torch_state_dict(dict(sd), **kwargs)

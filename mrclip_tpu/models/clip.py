@@ -323,11 +323,75 @@ def _build_timm_vit_tower(
             "(eva_giant_patch14_*)."
         )
     if tname.startswith("vitamin_"):
-        raise NotImplementedError(
-            f"timm model '{tname}' (ViTamin) has no TPU-native mapping: "
-            "ViTamin towers are conv-stem + MBConv-stage + ViT hybrids; "
-            "porting needs a native MBConv stage module. Use a plain "
-            "ViT/ConvNeXt config instead."
+        # ViTamin hybrids (reference pretrained.py:554-599 tags; the
+        # reference needs timm's vitamin module). Native NHWC build —
+        # see models/vitamin.py PROVENANCE note (paper-recalled dims,
+        # conversion gated on an oracle).
+        from .vitamin import VITAMIN_DIMS, ViTamin
+
+        if tname not in VITAMIN_DIMS:
+            raise NotImplementedError(
+                f"timm vitamin variant '{tname}' has no TPU-native stage "
+                f"table; supported: {sorted(VITAMIN_DIMS)}"
+            )
+        depths, dims, vheads = VITAMIN_DIMS[tname]
+        if vision_cfg.timm_pool not in ("avg", ""):
+            raise NotImplementedError(
+                f"timm_pool='{vision_cfg.timm_pool}' unsupported for the "
+                "native ViTamin (global average pooling only)"
+            )
+        return ViTamin(
+            image_size=vision_cfg.image_size or 224,
+            depths=depths,
+            dims=dims,
+            heads=vheads,
+            output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
+            drop_path=vision_cfg.timm_drop_path or 0.0,
+            act=act,
+            attn_impl=attn_impl,
+            scan_layers=scan_layers,
+            remat=remat,
+            remat_policy=remat_policy,
+            dtype=dtype,
+            name=name,
+        )
+    if tname.startswith("fastvit_") or tname == "vit_base_mci_224":
+        # MobileCLIP towers (reference pretrained.py:545-552 tags;
+        # convert.py:152-199 expects timm fastvit / hybrid-ViT modules).
+        # Native deploy-form build — see models/fastvit.py PROVENANCE.
+        from .fastvit import FASTVIT_DIMS, FastViT, HybridViT
+
+        if tname == "vit_base_mci_224":
+            return HybridViT(
+                image_size=vision_cfg.image_size or 224,
+                output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
+                act=act,
+                attn_impl=attn_impl,
+                scan_layers=scan_layers,
+                remat=remat,
+                remat_policy=remat_policy,
+                dtype=dtype,
+                name=name,
+            )
+        if tname not in FASTVIT_DIMS:
+            raise NotImplementedError(
+                f"timm fastvit variant '{tname}' has no TPU-native stage "
+                f"table; supported: {sorted(FASTVIT_DIMS)} (MobileCLIP MCi)"
+            )
+        depths, dims, mlp_ratio = FASTVIT_DIMS[tname]
+        return FastViT(
+            image_size=vision_cfg.image_size or 256,
+            depths=depths,
+            dims=dims,
+            mlp_ratio=mlp_ratio,
+            output_dim=None if vision_cfg.timm_proj == "none" else embed_dim,
+            act=act,
+            attn_impl=attn_impl,
+            scan_layers=scan_layers,
+            remat=remat,
+            remat_policy=remat_policy,
+            dtype=dtype,
+            name=name,
         )
     m = _re.match(
         r"vit_(tiny|small|base|large|huge|so400m)_patch(\d+)((?:_[a-z0-9]+)*?)_(\d+)$",

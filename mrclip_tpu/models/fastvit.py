@@ -1,0 +1,271 @@
+"""MobileCLIP image towers, TPU-native NHWC: FastViT/MCi (S1/S2) and the
+conv-stem hybrid ViT (B).
+
+Covers the reference's MobileCLIP pretrained-registry tags
+(`src/open_clip/pretrained.py:545-552`) and the tower families its
+`convert.py:152-199` expects (timm `fastvit_mci*` for S1/S2,
+`vision_transformer_hybrid` for B). The reference itself cannot build these
+(no config JSON ships; timm modules required at runtime).
+
+Architecture follows the MobileCLIP paper (Vasu et al., CVPR 2024) and
+FastViT (ICCV 2023), in the REPARAMETERIZED (deploy) form throughout:
+
+  stem     two stride-2 conv3x3+GELU blocks                   (1/4 res)
+  stage i  RepMixer blocks (i<3) / self-attention blocks (i=3),
+           separated by dw7x7/s2 + pw1x1 patch-embed downsamples
+           (final features at 1/32 res)
+  head     1x1 conv expand -> GELU -> global average pool -> linear proj
+
+A RepMixer block (deploy form) is
+  token mix:  x + per-channel-scaled dw3x3(x)
+  ConvFFN:    x + pw( GELU( pw( LN( dw7x7(x) ) ) ) )      (ratio 3)
+and the attention stage prepends a dw7x7 conditional position embedding
+(RepCPE) and uses pre-LN MHSA over the flattened 1/32 tokens.
+
+TPU rationale for building the deploy form: MobileOne/RepMixer train-time
+overparameterization (parallel conv+BN branches, reparameterized away for
+inference) is a GPU-era trick to add capacity without inference cost; on
+TPU the extra branches are pure HBM traffic, every released checkpoint is
+consumed through timm's `checkpoint_filter_fn` which fuses them anyway, and
+the fused form is what serving runs. BatchNorm is replaced by LayerNorm
+(fp32-stats, shared impl) — no running stats to synchronize across a mesh.
+
+PROVENANCE: zero-egress environment — no timm source/paper/checkpoints to
+validate stage tables against; depth/width tables below are recorded from
+the papers as remembered and NOT oracle-validated. Weight conversion stays
+gated in `convert.py` (the loud error names this module as the porting
+path). Shapes, training, remat, and mesh sharding are natively tested
+(tests/test_mobileclip.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import LayerNorm, gelu_exact
+from .transformer import Transformer
+
+Dtype = Any
+
+# (stage depths, stage dims, mlp_ratio)
+FASTVIT_DIMS = {
+    "fastvit_mci0": ((2, 6, 10, 2), (64, 128, 256, 512), 3.0),
+    "fastvit_mci1": ((4, 12, 20, 4), (64, 128, 256, 512), 3.0),
+    "fastvit_mci2": ((4, 12, 24, 4), (80, 160, 320, 640), 3.0),
+}
+
+
+class _ConvFFN(nn.Module):
+    """dw7x7 -> LN -> 1x1 expand -> GELU -> 1x1 project, residual added by
+    the caller."""
+
+    dim: int
+    mlp_ratio: float = 3.0
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    dtype=self.dtype, name="conv_dw")(x)
+        x = LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class RepMixerBlock(nn.Module):
+    """Deploy-form RepMixer: scaled dw3x3 token mix + ConvFFN, both residual."""
+
+    dim: int
+    mlp_ratio: float = 3.0
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        mix = nn.Conv(self.dim, (3, 3), padding=1, feature_group_count=self.dim,
+                      dtype=self.dtype, name="mixer_dw")(x)
+        scale = self.param("mixer_scale", nn.initializers.ones,
+                           (self.dim,), jnp.float32)
+        x = x + mix * scale.astype(x.dtype)
+        return x + _ConvFFN(self.dim, self.mlp_ratio, self.act, self.dtype,
+                            name="ffn")(x)
+
+
+class _PatchDownsample(nn.Module):
+    """dw7x7/s2 -> pw1x1 into the next stage width (deploy form)."""
+
+    in_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(self.in_dim, (7, 7), strides=(2, 2), padding=3,
+                    feature_group_count=self.in_dim, dtype=self.dtype,
+                    name="conv_dw")(x)
+        x = LayerNorm(epsilon=1e-6, name="norm")(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="conv_pw")(x)
+
+
+class FastViT(nn.Module):
+    """MCi image encoder (MobileCLIP S1/S2): pooled embedding out."""
+
+    image_size: int = 256
+    depths: Sequence[int] = (4, 12, 20, 4)
+    dims: Sequence[int] = (64, 128, 256, 512)
+    mlp_ratio: float = 3.0
+    output_dim: Optional[int] = 512
+    head_expand: float = 2.0
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    attn_impl: str = "xla"
+    output_tokens: bool = False
+    scan_layers: bool = True  # applies to the attention stage
+    remat: bool = False
+    remat_policy: str = "dots"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        if self.image_size % 32:
+            raise ValueError(f"image_size {self.image_size} not divisible by 32")
+        c = self.dims
+
+        # stem to 1/4
+        x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                    name="stem_conv1")(x)
+        x = self.act(x)
+        x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1,
+                    feature_group_count=1, dtype=self.dtype, name="stem_conv2")(x)
+        x = self.act(x)
+
+        block = RepMixerBlock
+        if self.remat:
+            block = nn.remat(block, prevent_cse=False, static_argnums=(2,))
+        for s in range(3):
+            if s > 0:
+                x = _PatchDownsample(c[s - 1], c[s], dtype=self.dtype,
+                                     name=f"downsample{s}")(x)
+            for i in range(self.depths[s]):
+                x = block(c[s], self.mlp_ratio, self.act, self.dtype,
+                          name=f"stage{s}_block{i}")(x, deterministic)
+
+        # attention stage at 1/32
+        x = _PatchDownsample(c[2], c[3], dtype=self.dtype, name="downsample3")(x)
+        cpe = nn.Conv(c[3], (7, 7), padding=3, feature_group_count=c[3],
+                      dtype=self.dtype, name="pos_emb_dw")(x)
+        x = x + cpe  # RepCPE: convolutional (translation-equivariant) positions
+        b, h, w, _ = x.shape
+        t = x.reshape(b, h * w, c[3])
+        t = Transformer(
+            width=c[3],
+            layers=self.depths[3],
+            heads=max(1, c[3] // 64),
+            mlp_ratio=self.mlp_ratio,
+            act=self.act,
+            attn_impl=self.attn_impl,
+            ln_eps=1e-6,
+            scan_layers=self.scan_layers,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
+            dtype=self.dtype,
+            name="transformer",
+        )(t, deterministic=deterministic)
+        x = t.reshape(b, h, w, c[3])
+
+        # head: 1x1 expand -> GELU -> GAP -> proj
+        x = nn.Dense(int(c[3] * self.head_expand), dtype=self.dtype,
+                     name="head_conv")(x)
+        x = self.act(x)
+        tokens = x.reshape(b, h * w, -1)
+        pooled = tokens.mean(axis=1)
+        pooled = LayerNorm(epsilon=1e-6, name="head_norm")(pooled)
+        if self.output_dim is not None:
+            proj = self.param(
+                "proj",
+                nn.initializers.normal(stddev=pooled.shape[-1] ** -0.5),
+                (pooled.shape[-1], self.output_dim),
+                jnp.float32,
+            )
+            pooled = pooled @ proj.astype(pooled.dtype)
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled
+
+
+class HybridViT(nn.Module):
+    """MobileCLIP-B image tower: a 4-layer stride-2 conv stem (1/16 patchify)
+    feeding a standard pre-LN ViT with CLS pooling (timm
+    vision_transformer_hybrid layout; reference convert.py:197-199)."""
+
+    image_size: int = 224
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    stem_dims: Sequence[int] = (96, 192, 384, 768)
+    output_dim: Optional[int] = 512
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    attn_impl: str = "xla"
+    output_tokens: bool = False
+    scan_layers: bool = True
+    remat: bool = False
+    remat_policy: str = "dots"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        if self.image_size % 16:
+            raise ValueError(f"image_size {self.image_size} not divisible by 16")
+        for i, dim in enumerate(self.stem_dims):
+            x = nn.Conv(dim, (3, 3), strides=(2, 2), padding=1,
+                        dtype=self.dtype, name=f"patch_emb_conv{i}")(x)
+            x = LayerNorm(epsilon=1e-6, name=f"patch_emb_norm{i}")(x)
+            if i + 1 < len(self.stem_dims):
+                x = self.act(x)
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h * w, self.stem_dims[-1])
+        if self.stem_dims[-1] != self.width:
+            x = nn.Dense(self.width, dtype=self.dtype, name="stem_proj")(x)
+        cls = self.param("cls_token", nn.initializers.normal(stddev=0.02),
+                         (1, 1, self.width), jnp.float32)
+        x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (b, 1, 1)), x], axis=1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=self.width ** -0.5),
+            (h * w + 1, self.width),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        x = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            act=self.act,
+            attn_impl=self.attn_impl,
+            ln_eps=1e-6,
+            scan_layers=self.scan_layers,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
+            dtype=self.dtype,
+            name="transformer",
+        )(x, deterministic=deterministic)
+        tokens = x[:, 1:]
+        pooled = LayerNorm(epsilon=1e-6, name="norm_final")(x[:, 0])
+        if self.output_dim is not None:
+            proj = self.param(
+                "proj",
+                nn.initializers.normal(stddev=self.width ** -0.5),
+                (self.width, self.output_dim),
+                jnp.float32,
+            )
+            pooled = pooled @ proj.astype(pooled.dtype)
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled

@@ -68,14 +68,21 @@ def _clipacfg(**kwargs) -> dict:  # CLIPA preprocessing (reference _apcfg :66-77
     )
 
 
+def _mccfg(**kwargs) -> dict:  # MobileCLIP preprocessing (reference :79-90)
+    return _pcfg(
+        mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+        interpolation="bilinear", resize_mode="shortest", **kwargs
+    )
+
+
 _OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models"
 
 _GH = "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights"
 
 # Tags for every architecture this framework ships a config for (reference
-# pretrained.py:93-608; the reference's full table also carries archs that
-# have no config here — EVA/CLIPA/ViTamin/MobileCLIP timm-module families —
-# which are noted as gaps in PARITY.md rather than listed unloadable).
+# pretrained.py:93-608, incl. the EVA/CLIPA/ViTamin/MobileCLIP timm-module
+# families, all rebuilt natively; ViTamin/MobileCLIP checkpoint CONVERSION
+# remains gated in convert.py pending an oracle — see PARITY.md).
 _PRETRAINED: Dict[str, Dict[str, dict]] = {
     "RN50": {
         "openai": _apcfg(
@@ -442,6 +449,44 @@ _PRETRAINED: Dict[str, Dict[str, dict]] = {
         "mscoco_finetuned_laion2b_s13b_b90k": _apcfg(
             hf_hub="laion/mscoco_finetuned_CoCa-ViT-L-14-laion2B-s13B-b90k/"
         ),
+    },
+    # MobileCLIP (reference pretrained.py:545-552, _mccfg :79-90): configs +
+    # native deploy-form towers exist (models/fastvit.py); loading a released
+    # checkpoint still raises in convert.py until a branch-fusion oracle is
+    # available (the error names the porting path). Preprocessing matches the
+    # reference _mccfg: identity mean/std, bilinear, shortest-side resize.
+    "MobileCLIP-S1": {
+        "datacompdr": _mccfg(hf_hub="apple/MobileCLIP-S1-OpenCLIP/"),
+    },
+    "MobileCLIP-S2": {
+        "datacompdr": _mccfg(hf_hub="apple/MobileCLIP-S2-OpenCLIP/"),
+    },
+    "MobileCLIP-B": {
+        "datacompdr": _mccfg(hf_hub="apple/MobileCLIP-B-OpenCLIP/"),
+        "datacompdr_lt": _mccfg(hf_hub="apple/MobileCLIP-B-LT-OpenCLIP/"),
+    },
+    # ViTamin (reference pretrained.py:554-599): configs + native hybrid
+    # towers exist (models/vitamin.py); checkpoint conversion gated in
+    # convert.py pending an oracle for the timm trunk layout.
+    **{
+        name: {"datacomp1b": _pcfg(hf_hub=f"jienengchen/{repo}/pytorch_model.bin")}
+        for name, repo in [
+            ("ViTamin-S", "ViTamin-S"),
+            ("ViTamin-S-LTT", "ViTamin-S-LTT"),
+            ("ViTamin-B", "ViTamin-B"),
+            ("ViTamin-B-LTT", "ViTamin-B-LTT"),
+            ("ViTamin-L", "ViTamin-L-224px"),
+            ("ViTamin-L-256", "ViTamin-L-256px"),
+            ("ViTamin-L-336", "ViTamin-L-336px"),
+            ("ViTamin-L-384", "ViTamin-L-384px"),
+            ("ViTamin-L2", "ViTamin-L2-224px"),
+            ("ViTamin-L2-256", "ViTamin-L2-256px"),
+            ("ViTamin-L2-336", "ViTamin-L2-336px"),
+            ("ViTamin-L2-384", "ViTamin-L2-384px"),
+            ("ViTamin-XL-256", "ViTamin-XL-256px"),
+            ("ViTamin-XL-336", "ViTamin-XL-336px"),
+            ("ViTamin-XL-384", "ViTamin-XL-384px"),
+        ]
     },
 }
 
