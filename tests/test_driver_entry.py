@@ -61,10 +61,14 @@ def test_bench_retry_wrapper():
         "HOME": "/root",
         "MRCLIP_BENCH_ATTEMPTS": "2",
         "MRCLIP_BENCH_RETRY_SLEEP": "0",
+        # The wrapper parent flocks the exclusive-chip lockfile before
+        # spawning attempts; point it at a private file so this test never
+        # queues behind (or stalls) a real TPU run on the shared machine.
+        "MRCLIP_CHIP_LOCK": "/tmp/mrclip_test_retry_wrapper.lock",
     }
     out = subprocess.run(
         [sys.executable, "bench.py", "--bogus-flag"],
-        cwd=REPO, capture_output=True, text=True, timeout=120, env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=240, env=env,
     )
     assert out.returncode == 2  # argparse exit code propagated
     assert out.stderr.count("unrecognized arguments") == 2  # both attempts ran

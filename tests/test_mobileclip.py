@@ -20,7 +20,7 @@ def test_fastvit_tiny_forward():
     model = FastViT(image_size=64, **TINY)
     x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
     v = model.init(jax.random.key(0), x)
-    out = model.apply(v, x)
+    out = jax.jit(model.apply)(v, x)
     assert out.shape == (2, 48)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -57,7 +57,7 @@ def test_hybrid_vit_tiny_forward_and_grads():
         z = model.apply({"params": params}, x) @ head
         return optax.softmax_cross_entropy_with_integer_labels(z, y).mean()
 
-    l0, g = jax.value_and_grad(loss_fn)(v["params"])
+    l0, g = jax.jit(jax.value_and_grad(loss_fn))(v["params"])
     assert np.isfinite(float(l0))
     # every param receives a gradient (no dead branches)
     flat = jax.tree.leaves(g)

@@ -63,6 +63,7 @@ def test_pallas_under_jit(inputs):
     assert np.isfinite(float(fused))
 
 
+@pytest.mark.slow
 def test_logit_scale_gradient_matches_dense():
     """The custom VJP must return a real logit_scale cotangent (it used to
     return None -> the trainable temperature silently froze under

@@ -106,18 +106,22 @@ def test_eva_qv_bias_conversion():
 
 
 def test_unportable_towers_rejected():
-    """EVA02 is natively supported as of r3 (test_eva02.py); non-clip EVA02
-    variants and ViTamin hybrids still reject loudly."""
+    """EVA02 (r3) and ViTamin (r4) are natively supported; variants outside
+    the known stage tables still reject loudly."""
     from mrclip_tpu.models.clip import CLIPVisionCfg, build_vision_tower
 
     for tname, match in (("eva02_large_patch14_448", "EVA02"),
-                         ("vitamin_large_256", "ViTamin")):
+                         ("vitamin_large_256", "vitamin variant")):
         with pytest.raises(NotImplementedError, match=match):
             build_vision_tower(768, CLIPVisionCfg(timm_model_name=tname))
     # the clip variant now builds
     tower = build_vision_tower(768, CLIPVisionCfg(
         timm_model_name="eva02_large_patch14_clip_224", timm_pool="token"))
     assert tower.use_rope and tower.mlp_type == "swiglu"
+    # ViTamin trunks build natively as of r4 (models/vitamin.py)
+    tower = build_vision_tower(768, CLIPVisionCfg(
+        timm_model_name="vitamin_large", timm_pool="avg"))
+    assert tower.dims == (160, 320, 1024)
 
 
 def test_convnext_mlp_head_import_and_forward():
