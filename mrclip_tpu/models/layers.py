@@ -319,7 +319,18 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
 
-        if rope is not None:
+        # Under fusedp the rotation happens INSIDE the Pallas kernel (q/k
+        # rotate in VMEM; the rotated tensors never reach HBM — pallas_call
+        # is opaque to XLA, so an out-of-kernel rotation must materialize
+        # rotated q and k per layer per direction, and EVA02's attention is
+        # byte-bound at 75-100% HBM BW per profiles/r4_eva02).
+        rope_in_kernel = (
+            rope is not None
+            and self.attn_impl == "fusedp"
+            and mask is None
+            and not self.scaled_cosine
+        )
+        if rope is not None and not rope_in_kernel:
             assert kv is None, "rope applies to self-attention only"
             # under the throughput modes (bf16 score storage, Pallas fused
             # kernels), rotate in compute dtype too — the fp32 round-trip is
@@ -366,8 +377,16 @@ class MultiHeadAttention(nn.Module):
             # copies) and is mesh-capable via custom_partitioning.
             from ..ops.fused_attn import fused_attention, fused_attention_packed
 
-            fn = fused_attention if self.attn_impl == "fused" else fused_attention_packed
-            out = fn(q, k, v, is_causal=is_causal)
+            if self.attn_impl == "fused":
+                out = fused_attention(q, k, v, is_causal=is_causal)
+            elif rope_in_kernel:
+                assert kv is None, "rope applies to self-attention only"
+                out = fused_attention_packed(
+                    q, k, v, is_causal=is_causal, rope=rope,
+                    rope_prefix=rope_prefix,
+                )
+            else:
+                out = fused_attention_packed(q, k, v, is_causal=is_causal)
         elif self.attn_impl in ("manual", "bf16"):
             # Same math as the xla path, with explicit control over what the
             # [B, H, N, N] score tensors are stored as in HBM (the r1 trace

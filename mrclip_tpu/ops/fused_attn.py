@@ -203,11 +203,55 @@ def _core_bwd(n_k, causal, interpret, res, do):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
-def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads, scale, causal):
+def _rot_matrix(d: int, dtype):
+    """Constant [d, d] pair-swap matrix R with x @ R == rot(x), where
+    rot(x)[2i] = -x[2i+1], rot(x)[2i+1] = x[2i] (the rotate-half of
+    interleaved-pair rope). Realizing the pair swap as a tiny MXU matmul
+    avoids lane shuffles inside the kernel; entries are 0/±1 so the product
+    is exact in any dtype. Constant-folded by Mosaic."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    plus = jnp.logical_and(i + 1 == j, j % 2 == 1)
+    minus = jnp.logical_and(i - 1 == j, j % 2 == 0)
+    return (plus.astype(jnp.float32) - minus.astype(jnp.float32)).astype(dtype)
+
+
+def _rope_rotate(x, sin, cos, rmat):
+    """y = x*cos + rot(x)*sin in fp32, back to x.dtype. x: [N, d]."""
+    rot = jax.lax.dot_general(
+        x, rmat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    y = x.astype(jnp.float32) * cos + rot * sin
+    return y.astype(x.dtype)
+
+
+def _rope_unrotate_grad(g, sin, cos, rmat, dtype):
+    """VJP of `_rope_rotate` w.r.t. x: dx = g*cos + (g*sin) @ R^T, and
+    R^T = -R (R is antisymmetric), so dx = g*cos - (g*sin) @ R. g: fp32."""
+    gs = (g * sin).astype(dtype)
+    rot = jax.lax.dot_general(
+        gs, rmat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return g * cos - rot
+
+
+def _packed_fwd_kernel(*refs, heads, scale, causal, rope):
     """Natural-layout variant: blocks are [1, N, H*D] slabs (no HBM-side
     transpose or pad — Mosaic masks the unaligned sequence edge). Heads are
     sliced on the lane dim in VMEM; one (batch,) grid program computes all
-    heads of one sample."""
+    heads of one sample.
+
+    With `rope=True` an extra [N, 2*D] sin||cos table operand (identity
+    rows for the CLS prefix) follows v, and q/k rotate IN VMEM before the
+    score matmul — the rotated tensors never exist in HBM. Out-of-kernel
+    rope costs 2 full q/k round-trips per layer per direction (pallas_call
+    is opaque, so XLA must materialize the rotated q/k); EVA02's attention
+    is byte-bound (profiles/r4_eva02: 75-80% HBM BW), making those bytes
+    pure overhead."""
+    if rope:
+        q_ref, k_ref, v_ref, r_ref, o_ref, lse_ref = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref), r_ref = refs, None
     n, hd = q_ref.shape[1], q_ref.shape[2]
     d = hd // heads
     nk = k_ref.shape[1]
@@ -216,9 +260,16 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads, scale, cau
         row = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
         mask = jnp.where(col > row, jnp.asarray(_NEG, jnp.float32), 0.0)
+    if r_ref is not None:
+        sin = r_ref[:, :d].astype(jnp.float32)
+        cos = r_ref[:, d:].astype(jnp.float32)
+        rmat = _rot_matrix(d, q_ref.dtype)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
+        if r_ref is not None:
+            qh = _rope_rotate(qh, sin, cos, rmat)
+            kh = _rope_rotate(kh, sin, cos, rmat)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -234,10 +285,13 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads, scale, cau
         ).astype(qh.dtype)
 
 
-def _packed_bwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dk_ref, dv_ref,
-    *, heads, scale, causal,
-):
+def _packed_bwd_kernel(*refs, heads, scale, causal, rope):
+    if rope:
+        (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref), r_ref = refs, None
     n, hd = q_ref.shape[1], q_ref.shape[2]
     d = hd // heads
     nk = k_ref.shape[1]
@@ -246,9 +300,19 @@ def _packed_bwd_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), 1)
         mask = jnp.where(col > row, jnp.asarray(_NEG, jnp.float32), 0.0)
+    if r_ref is not None:
+        sin = r_ref[:, :d].astype(jnp.float32)
+        cos = r_ref[:, d:].astype(jnp.float32)
+        rmat = _rot_matrix(d, q_ref.dtype)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
+        if r_ref is not None:
+            # residuals hold the UNROTATED q/k; re-rotate in VMEM (the same
+            # two tiny matmuls as the forward) and un-rotate dq/dk on the
+            # way out — rotated tensors and their grads never touch HBM.
+            qh = _rope_rotate(qh, sin, cos, rmat)
+            kh = _rope_rotate(kh, sin, cos, rmat)
         oh, doh = o_ref[0, :, sl], do_ref[0, :, sl]
         lse = lse_ref[0, h, :]
         s = jax.lax.dot_general(
@@ -266,17 +330,27 @@ def _packed_bwd_kernel(
         )
         delta = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
         ds = (p * (dp - delta[:, None]) * scale).astype(qh.dtype)
-        dq_ref[0, :, sl] = jax.lax.dot_general(
+        dq = jax.lax.dot_general(
             ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(qh.dtype)
-        dk_ref[0, :, sl] = jax.lax.dot_general(
+        )
+        dk = jax.lax.dot_general(
             ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(qh.dtype)
+        )
+        if r_ref is not None:
+            dq = _rope_unrotate_grad(dq, sin, cos, rmat, qh.dtype)
+            dk = _rope_unrotate_grad(dk, sin, cos, rmat, qh.dtype)
+        dq_ref[0, :, sl] = dq.astype(qh.dtype)
+        dk_ref[0, :, sl] = dk.astype(qh.dtype)
         dv_ref[0, :, sl] = dv.astype(qh.dtype)
 
 
 def _pspec(n, hd):
     return pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0), memory_space=_VMEM)
+
+
+def _rspec(n, r):
+    # rope table [N, 2*D]: one block shared by every grid program
+    return pl.BlockSpec((n, r), lambda i: (0, 0), memory_space=_VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -285,7 +359,7 @@ def _pcore(q, k, v, heads, causal, interpret):
     return o
 
 
-def _pfwd_impl(q, k, v, head_dim, causal, interpret):
+def _pfwd_impl(q, k, v, head_dim, causal, interpret, tab=None):
     b, n, hd = q.shape
     nk = k.shape[1]
     assert hd % head_dim == 0, (
@@ -295,36 +369,45 @@ def _pfwd_impl(q, k, v, head_dim, causal, interpret):
     heads = hd // head_dim
     kern = functools.partial(
         _packed_fwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
-        causal=causal,
+        causal=causal, rope=tab is not None,
     )
+    in_specs = [_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)]
+    args = (q, k, v)
+    if tab is not None:
+        in_specs.append(_rspec(n, tab.shape[1]))
+        args += (tab,)
     return pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)],
+        in_specs=in_specs,
         out_specs=(_pspec(n, hd), _pspec(heads, n)),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, hd), q.dtype),
             jax.ShapeDtypeStruct((b, heads, n), jnp.float32),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
 
 
-def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret):
+def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab=None):
     b, n, hd = q.shape
     nk = k.shape[1]
     heads = hd // head_dim
     kern = functools.partial(
         _packed_bwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
-        causal=causal,
+        causal=causal, rope=tab is not None,
     )
+    in_specs = [_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)]
+    args = (q, k, v)
+    if tab is not None:
+        in_specs.append(_rspec(n, tab.shape[1]))
+        args += (tab,)
+    in_specs += [_pspec(n, hd), _pspec(n, hd), _pspec(heads, n)]
+    args += (o, do, lse)
     return pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[
-            _pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd),
-            _pspec(n, hd), _pspec(n, hd), _pspec(heads, n),
-        ],
+        in_specs=in_specs,
         out_specs=(_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, hd), q.dtype),
@@ -332,7 +415,7 @@ def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret):
             jax.ShapeDtypeStruct((b, nk, hd), q.dtype),
         ),
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(*args)
 
 
 # --- GSPMD mesh support for the packed variant --------------------------
@@ -437,8 +520,116 @@ def _pcore_bwd(heads, causal, interpret, res, do):
 _pcore.defvjp(_pcore_fwd, _pcore_bwd)
 
 
+# --- rope-in-kernel variant (EVA02 towers) -------------------------------
+#
+# Same packed kernels with a fourth operand: the [N, 2*head_dim] sin||cos
+# table (identity rows over the CLS prefix, replicated across the mesh).
+# Residuals keep the UNROTATED q/k; both kernels re-rotate in VMEM. The
+# table is a position constant, not a parameter — its cotangent is zero.
+
+def _rope_sharding(mesh):
+    return NamedSharding(mesh, P(None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _pfwd_rope_gspmd(head_dim, causal, interpret):
+    fn = custom_partitioning(
+        lambda q, k, v, tab: _pfwd_impl(q, k, v, head_dim, causal, interpret, tab)
+    )
+
+    def partition(mesh, arg_shapes, result_shape):
+        qkv_sh, lse_sh = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+
+        def lower(q, k, v, tab):
+            return _pfwd_impl(q, k, v, head_dim, causal, interpret, tab)
+
+        return mesh, lower, (qkv_sh, lse_sh), (qkv_sh,) * 3 + (_rope_sharding(mesh),)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b n (h d), b m (h d), b m (h d), n r -> b n (h d), b h n"
+        ),
+        need_replication_factors=("n", "d", "m", "r"),
+        d=head_dim,
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _pbwd_rope_gspmd(head_dim, causal, interpret):
+    fn = custom_partitioning(
+        lambda q, k, v, o, do, lse, tab: _pbwd_impl(
+            q, k, v, o, do, lse, head_dim, causal, interpret, tab
+        )
+    )
+
+    def partition(mesh, arg_shapes, result_shape):
+        qkv_sh, lse_sh = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+
+        def lower(q, k, v, o, do, lse, tab):
+            return _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab)
+
+        return (
+            mesh, lower, (qkv_sh,) * 3,
+            (qkv_sh,) * 5 + (lse_sh, _rope_sharding(mesh)),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        qkv_sh, _ = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+        return (qkv_sh,) * 3
+
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b n (h d), b m (h d), b m (h d), b n (h d), b n (h d), b h n, n r"
+            " -> b n (h d), b m (h d), b m (h d)"
+        ),
+        need_replication_factors=("n", "d", "m", "r"),
+        d=head_dim,
+    )
+    return fn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _pcore_rope(q, k, v, tab, heads, causal, interpret):
+    o, _ = _pcore_rope_fwd(q, k, v, tab, heads, causal, interpret)
+    return o
+
+
+def _pcore_rope_fwd(q, k, v, tab, heads, causal, interpret):
+    head_dim = q.shape[2] // heads
+    if jax.device_count() > 1:
+        o, lse = _pfwd_rope_gspmd(head_dim, causal, interpret)(q, k, v, tab)
+    else:
+        o, lse = _pfwd_impl(q, k, v, head_dim, causal, interpret, tab)
+    return o, (q, k, v, tab, o, lse)
+
+
+def _pcore_rope_bwd(heads, causal, interpret, res, do):
+    q, k, v, tab, o, lse = res
+    head_dim = q.shape[2] // heads
+    do = do.astype(q.dtype)
+    if jax.device_count() > 1:
+        dq, dk, dv = _pbwd_rope_gspmd(head_dim, causal, interpret)(
+            q, k, v, o, do, lse, tab
+        )
+    else:
+        dq, dk, dv = _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab)
+    return dq, dk, dv, jnp.zeros_like(tab)
+
+
+_pcore_rope.defvjp(_pcore_rope_fwd, _pcore_rope_bwd)
+
+
 def fused_attention_packed(
     q: jax.Array, k: jax.Array, v: jax.Array, *, is_causal: bool = False,
+    rope: jax.Array | None = None, rope_prefix: int = 1,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Natural-layout fused attention; q, k, v: [B, N, H, D] -> [B, N, H, D].
@@ -448,15 +639,37 @@ def fused_attention_packed(
     them — zero HBM-side transpose/pad copies. Mosaic masks the unaligned
     sequence edge; heads are lane-dim slices relayouted inside VMEM.
 
+    `rope`: optional [N - rope_prefix, 2*D] sin||cos table (the
+    `ops.pos_embed.rope_cat_2d` layout, same semantics as
+    `models.layers.apply_rope_cat`): q and k rotate INSIDE the kernel, in
+    VMEM, via a constant pair-swap matmul — the rotated tensors (and their
+    gradients) never round-trip through HBM. The first `rope_prefix` rows
+    (CLS) pass through via identity (sin=0, cos=1) padding. Self-attention
+    only (requires N == M).
+
     Mesh-capable: on multi-device processes the kernels are wrapped in
     `custom_partitioning`, so under a dp/fsdp x tp mesh each device runs
     its local batch slice and head slab (tp size must divide num_heads;
-    sequence/head_dim shardings are replicated by the partitioner).
+    sequence/head_dim shardings are replicated by the partitioner; the
+    rope table is replicated).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, h, d = q.shape
     nk = k.shape[1]
+    if rope is not None:
+        assert nk == n, "rope-in-kernel applies to self-attention only"
+        assert d % 2 == 0, "rope head_dim must be even (interleaved pairs)"
+        sin, cos = jnp.split(rope, 2, axis=-1)  # [N - prefix, D]
+        if rope_prefix:
+            sin = jnp.pad(sin, ((rope_prefix, 0), (0, 0)))
+            cos = jnp.pad(cos, ((rope_prefix, 0), (0, 0)), constant_values=1.0)
+        tab = jnp.concatenate([sin, cos], axis=-1).astype(q.dtype)  # [N, 2D]
+        o = _pcore_rope(
+            q.reshape(b, n, h * d), k.reshape(b, n, h * d),
+            v.reshape(b, n, h * d), tab, h, is_causal, interpret,
+        )
+        return o.reshape(b, n, h, d)
     o = _pcore(
         q.reshape(b, n, h * d), k.reshape(b, nk, h * d), v.reshape(b, nk, h * d),
         h, is_causal, interpret,

@@ -148,10 +148,11 @@ def test_full_model_forward_matches_xla():
 
 def test_fusedp_eva02_tower_matches_xla():
     """fusedp under the EVA02 block recipe (axial 2D rope on q/k, sub-LN
-    inside attention, SwiGLU MLP) == xla attention: the rope rotation
-    happens OUTSIDE the kernel on already-projected q/k, so the kernel must
-    be oblivious to it — this pins the composition the EVA02 bench configs
-    run (`bench.py --model EVA02-B-16 --attn-impl fusedp`)."""
+    inside attention, SwiGLU MLP) == xla attention. Under fusedp the rope
+    rotation happens INSIDE the kernel (identity-prefix sin||cos table
+    operand, q/k rotate in VMEM) while the xla path rotates out-of-kernel
+    via apply_rope_cat — this pins the end-to-end composition the EVA02
+    bench configs run (`bench.py --model EVA02-B-16 --attn-impl fusedp`)."""
     from mrclip_tpu.models.vision import VisionTransformer
 
     feats = {}
@@ -167,6 +168,80 @@ def test_fusedp_eva02_tower_matches_xla():
         variables = vt.init(jax.random.PRNGKey(0), imgs)
         feats[impl] = vt.apply(variables, imgs)
     assert float(jnp.abs(feats["xla"] - feats["fusedp"]).max()) < 1e-4
+
+
+@pytest.mark.parametrize("prefix", [0, 1])
+def test_rope_in_kernel_matches_out_of_kernel(prefix):
+    """`fused_attention_packed(rope=tab)` (rotation in VMEM via the constant
+    pair-swap matmul, gradients un-rotated inside the bwd kernel) == rotating
+    q/k with `apply_rope_cat` first and calling the plain kernel — fwd AND
+    (dq, dk, dv). The rotation is linear with 0/±1 matrix entries, so fp32
+    agreement should be near-exact."""
+    from mrclip_tpu.models.layers import apply_rope_cat
+
+    b, n, h, d = 2, 19, 3, 8
+    rng = np.random.RandomState(11)
+    q, k, v = (jnp.asarray(rng.randn(b, n, h, d), jnp.float32) for _ in range(3))
+    tab = jnp.asarray(rng.uniform(-1, 1, (n - prefix, 2 * d)), jnp.float32)
+    w = jnp.asarray(rng.randn(d), jnp.float32)
+
+    def loss_in(q, k, v):
+        o = fused_attention_packed(
+            q, k, v, rope=tab, rope_prefix=prefix, interpret=True
+        )
+        return (o * w).sum()
+
+    def loss_out(q, k, v):
+        qr = apply_rope_cat(q, tab, prefix)
+        kr = apply_rope_cat(k, tab, prefix)
+        return (fused_attention_packed(qr, kr, v, interpret=True) * w).sum()
+
+    got = jax.value_and_grad(loss_in, argnums=(0, 1, 2))(q, k, v)
+    want = jax.value_and_grad(loss_out, argnums=(0, 1, 2))(q, k, v)
+    assert abs(float(got[0]) - float(want[0])) < 1e-3
+    for a, b_ in zip(got[1], want[1]):
+        assert float(jnp.abs(a - b_).max()) < 1e-4
+
+
+@pytest.mark.slow
+def test_rope_in_kernel_sharded_matches_unsharded():
+    """rope-in-kernel under a dp2 x tp2 mesh == unsharded XLA attention with
+    out-of-kernel rotation: the rope-variant custom_partitioning rules add a
+    replicated table operand; per-shard lowering must slice batch/heads but
+    see the full table."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mrclip_tpu.models.layers import apply_rope_cat
+    from mrclip_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = create_mesh(dp=2, tp=2, fsdp=1, devices=jax.devices()[:4])
+
+    b, n, h, d = 4, 17, 4, 16
+    rng = np.random.RandomState(13)
+    q, k, v = (jnp.asarray(rng.randn(b, n, h, d), jnp.float32) for _ in range(3))
+    tab = jnp.asarray(rng.uniform(-1, 1, (n - 1, 2 * d)), jnp.float32)
+    w = jnp.asarray(rng.randn(d), jnp.float32)
+
+    def loss(q, k, v):
+        o = fused_attention_packed(q, k, v, rope=tab, interpret=True)
+        return (o * w).sum()
+
+    sh = NamedSharding(mesh, P("data", None, "model", None))
+    got = jax.jit(
+        jax.value_and_grad(loss, argnums=(0, 1, 2)), in_shardings=(sh, sh, sh)
+    )(q, k, v)
+
+    def ref_loss(q, k, v):
+        qr = apply_rope_cat(q, tab, 1)
+        kr = apply_rope_cat(k, tab, 1)
+        return (jax.nn.dot_product_attention(qr, kr, v) * w).sum()
+
+    ref = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    assert abs(float(got[0]) - float(ref[0])) < 1e-2 * max(1.0, abs(float(ref[0])))
+    for a, b_ in zip(got[1], ref[1]):
+        assert float(jnp.abs(a - b_).max()) < 1e-4
 
 
 @pytest.mark.slow
