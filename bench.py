@@ -164,6 +164,12 @@ def main():
         "VMEM-resident, no HBM score matrix)",
     )
     parser.add_argument(
+        "--swiglu-fused", action="store_true",
+        help="SwiGLU towers (EVA02): hold gate||value as ONE [D, 2H] param "
+        "— halves the fwd x-reads and merges the bwd dx matmuls "
+        "(models.layers.SwiGLU.fused_gate; throughput experiment)",
+    )
+    parser.add_argument(
         "--gelu-approx", action=argparse.BooleanOptionalAction, default=True,
         help="tanh-approximate GELU (default on: keeps the erf off the VPU "
         "inside the MLP matmul fusions; measured 863 vs 791 pairs/s at b88; "
@@ -293,6 +299,7 @@ def main():
         remat_policy=args.remat_policy,
         attn_impl=attn_impl,
         gelu_approx=args.gelu_approx,
+        swiglu_fused=args.swiglu_fused,
         # --int8 quantizes only 2D (unrolled) kernels; force the unrolled
         # layout so deep models don't silently measure an unquantized stack.
         scan_layers=False if (args.no_scan or args.int8) else None,

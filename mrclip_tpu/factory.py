@@ -158,6 +158,7 @@ def create_model(
     remat_policy: str = "dots",
     attn_impl: str = "xla",
     gelu_approx: bool = False,
+    swiglu_fused: bool = False,
     init_params: bool = True,
     rng_seed: int = 0,
     **model_kwargs,
@@ -185,6 +186,11 @@ def create_model(
         # --textdropout: dropout injected into the text tower's blocks
         # (reference main.py:47-59 add_dropout).
         cfg["text_cfg"]["dropout"] = text_dropout
+    if swiglu_fused:
+        # SwiGLU towers (EVA02): gate||value as ONE [D, 2H] param — halves
+        # the fwd x-reads and merges the bwd dx matmuls. Checkpoints in the
+        # split layout are fused on load below.
+        cfg["vision_cfg"]["mlp_fused_gate"] = True
 
     # RN50-style configs encode layers as a list; drop null patch_size.
     if cfg["vision_cfg"].get("patch_size") is None:
@@ -358,6 +364,12 @@ def create_model(
                 if cfg["text_cfg"].get("hf_model_name")
                 else None,
             )
+
+        if swiglu_fused:
+            # split-layout checkpoint (fc1_g/fc1_x) -> the fused fc1 tree
+            from .models.layers import fuse_swiglu_params
+
+            loaded = fuse_swiglu_params(loaded)
 
         # Overlay loaded params onto the init template (keeps missing keys),
         # reporting both directions of mismatch loudly: a tower left at

@@ -95,6 +95,9 @@ class CLIPVisionCfg:
     output_tokens: bool = False
     act_kwargs: Optional[dict] = None
     norm_kwargs: Optional[dict] = None
+    # SwiGLU towers (EVA02): hold gate||value as one fused [D, 2H] param
+    # (throughput option; see models.layers.SwiGLU.fused_gate).
+    mlp_fused_gate: bool = False
     # timm adapter surface (reference :47-54); resolved by the factory.
     timm_model_name: Optional[str] = None
     timm_model_pretrained: bool = False
@@ -302,6 +305,7 @@ def _build_timm_vit_tower(
             rope_ref_feat_shape=None if enormous else (16, 16),
             mlp_type="mlp" if enormous else "swiglu",
             mlp_norm=not enormous,
+            mlp_fused_gate=vision_cfg.mlp_fused_gate and not enormous,
             attn_inner_norm=not enormous,
             attn_zero_k_bias=True,  # timm eva.py: k_bias is a zeros buffer
             post_norm_blocks=enormous,

@@ -34,6 +34,8 @@ __all__ = [
     "MLP",
     "SwiGLU",
     "apply_rope_cat",
+    "fuse_swiglu_params",
+    "split_swiglu_params",
 ]
 
 
@@ -161,26 +163,86 @@ class SwiGLU(nn.Module):
     silu(fc1_g(x)) * fc1_x(x) -> [LN] -> fc2 (timm `layers/mlp.py::SwiGLU`
     as instantiated by the reference's TimmModel-wrapped `eva02_*_clip_*`
     towers; the original EVA02 naming w1/w2/ffn_ln/w3 maps onto
-    fc1_g/fc1_x/norm/fc2 in `convert.py`). The gate and value projections
-    stay two separate matmuls: XLA fuses the silu/multiply into whichever
-    one it schedules last, and two [D, H] matmuls tile the MXU exactly like
-    one [D, 2H].
+    fc1_g/fc1_x/norm/fc2 in `convert.py`).
+
+    `fused_gate=True` (throughput option) keeps the same math but holds the
+    gate and value projections as ONE parameter `fc1` with kernel
+    [D, 2H] = gate||value: while two [D, H] matmuls tile the MXU like one
+    [D, 2H], they are separate XLA dots that each read x from HBM (fwd) and
+    produce separate dW/dx dots in the backward — the fused form halves the
+    x reads and gives the backward one [B*N, 2H] x [2H, D] dx matmul.
+    `models.layers.{fuse,split}_swiglu_params` convert checkpoints between
+    layouts (timm's own `SwiGLU` vs `SwiGLUPacked` distinction).
     """
 
     width: int
     hidden: int
     use_norm: bool = True  # sub-LN between gate and down-projection
     ln_eps: float = 1e-6
+    fused_gate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        g = nn.Dense(self.hidden, dtype=self.dtype, name="fc1_g")(x)
-        v = nn.Dense(self.hidden, dtype=self.dtype, name="fc1_x")(x)
+        if self.fused_gate:
+            gv = nn.Dense(2 * self.hidden, dtype=self.dtype, name="fc1")(x)
+            g, v = gv[..., : self.hidden], gv[..., self.hidden :]
+        else:
+            g = nn.Dense(self.hidden, dtype=self.dtype, name="fc1_g")(x)
+            v = nn.Dense(self.hidden, dtype=self.dtype, name="fc1_x")(x)
         y = jax.nn.silu(g) * v
         if self.use_norm:
             y = LayerNorm(epsilon=self.ln_eps, name="norm")(y)
         return nn.Dense(self.width, dtype=self.dtype, name="fc2")(y)
+
+
+def _map_swiglu_mlps(params, fn):
+    """Apply `fn` to every SwiGLU mlp subtree (detected by fc1_g/fc1)."""
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for k, v in params.items():
+        if k == "mlp" and isinstance(v, dict) and ("fc1_g" in v or "fc1" in v):
+            out[k] = fn(dict(v))
+        else:
+            out[k] = _map_swiglu_mlps(v, fn)
+    return out
+
+
+def fuse_swiglu_params(params):
+    """Rewrite split-gate SwiGLU params (fc1_g + fc1_x) to the fused layout
+    (fc1 with kernel [.., D, 2H] = gate||value). Handles scan-stacked
+    [L, D, H] kernels (concat on the output axis). Inverse of
+    `split_swiglu_params`; subtrees already fused pass through."""
+
+    def fuse(mlp):
+        if "fc1_g" not in mlp:
+            return mlp
+        g, v = mlp.pop("fc1_g"), mlp.pop("fc1_x")
+        mlp["fc1"] = {
+            "kernel": jnp.concatenate([g["kernel"], v["kernel"]], axis=-1),
+            "bias": jnp.concatenate([g["bias"], v["bias"]], axis=-1),
+        }
+        return mlp
+
+    return _map_swiglu_mlps(params, fuse)
+
+
+def split_swiglu_params(params):
+    """Inverse of `fuse_swiglu_params` (fused fc1 -> fc1_g + fc1_x), for
+    exporting a fused-gate model to the torch/timm split layout."""
+
+    def split(mlp):
+        if "fc1" not in mlp:
+            return mlp
+        gv = mlp.pop("fc1")
+        gk, vk = jnp.split(gv["kernel"], 2, axis=-1)
+        gb, vb = jnp.split(gv["bias"], 2, axis=-1)
+        mlp["fc1_g"] = {"kernel": gk, "bias": gb}
+        mlp["fc1_x"] = {"kernel": vk, "bias": vb}
+        return mlp
+
+    return _map_swiglu_mlps(params, split)
 
 
 def apply_rope_cat(

@@ -60,6 +60,7 @@ class ResidualAttentionBlock(nn.Module):
     # normalize the sublayer OUTPUT instead of its input.
     mlp_type: str = "mlp"  # 'mlp' | 'swiglu'
     mlp_norm: bool = False
+    mlp_fused_gate: bool = False  # SwiGLU gate||value as one [D, 2H] param
     attn_inner_norm: bool = False
     attn_zero_k_bias: bool = False
     post_norm: bool = False
@@ -137,6 +138,7 @@ class ResidualAttentionBlock(nn.Module):
             y = SwiGLU(
                 width=width, hidden=int(width * self.mlp_ratio),
                 use_norm=self.mlp_norm, ln_eps=self.ln_eps,
+                fused_gate=self.mlp_fused_gate,
                 dtype=self.dtype, name="mlp",
             )(y)
         else:
@@ -210,6 +212,7 @@ class Transformer(nn.Module):
     ln_eps: float = 1e-5
     mlp_type: str = "mlp"
     mlp_norm: bool = False
+    mlp_fused_gate: bool = False
     attn_inner_norm: bool = False
     attn_zero_k_bias: bool = False
     post_norm: bool = False
@@ -242,6 +245,7 @@ class Transformer(nn.Module):
             ln_eps=self.ln_eps,
             mlp_type=self.mlp_type,
             mlp_norm=self.mlp_norm,
+            mlp_fused_gate=self.mlp_fused_gate,
             attn_inner_norm=self.attn_inner_norm,
             attn_zero_k_bias=self.attn_zero_k_bias,
             post_norm=self.post_norm,

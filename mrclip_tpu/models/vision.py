@@ -88,6 +88,7 @@ class VisionTransformer(nn.Module):
     rope_ref_feat_shape: Optional[Tuple[int, int]] = None
     mlp_type: str = "mlp"  # 'mlp' | 'swiglu'
     mlp_norm: bool = False
+    mlp_fused_gate: bool = False  # SwiGLU gate||value as one [D, 2H] param
     attn_inner_norm: bool = False
     attn_zero_k_bias: bool = False
     post_norm_blocks: bool = False
@@ -193,6 +194,7 @@ class VisionTransformer(nn.Module):
             ln_eps=self.ln_eps,
             mlp_type=self.mlp_type,
             mlp_norm=self.mlp_norm,
+            mlp_fused_gate=self.mlp_fused_gate,
             attn_inner_norm=self.attn_inner_norm,
             attn_zero_k_bias=self.attn_zero_k_bias,
             post_norm=self.post_norm_blocks,

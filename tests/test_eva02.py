@@ -376,3 +376,39 @@ def test_eva02_attn_bf16_tower_matches_xla():
         outs[impl] = out / np.linalg.norm(out, axis=-1, keepdims=True)
     cos = (outs["xla"] * outs["bf16"]).sum(-1)
     assert cos.min() > 0.999, cos
+
+
+@pytest.mark.parametrize("scan_layers", [False, True])
+def test_swiglu_fused_gate_matches_split(scan_layers):
+    """`mlp_fused_gate=True` (one [D, 2H] gate||value param, bench
+    --swiglu-fused) == the split fc1_g/fc1_x layout with the SAME weights:
+    `fuse_swiglu_params` concatenates the split tree (incl. scan-stacked
+    [L, D, H] kernels) into the fused tree and the forward is identical —
+    each output column of x @ (Wg||Wv) is the same dot product. Grads
+    stay finite through the fused param."""
+    from mrclip_tpu.models.layers import fuse_swiglu_params, split_swiglu_params
+
+    imgs = jnp.asarray(np.random.RandomState(5).rand(2, RES, RES, 3), jnp.float32)
+    kw = dict(
+        image_size=RES, patch_size=PATCH, width=D, layers=LAYERS, heads=HEADS,
+        mlp_ratio=4 * 2 / 3, output_dim=OUT, patch_bias=True, no_ln_pre=True,
+        pool_type="tok", use_rope=True, rope_ref_feat_shape=(8, 8),
+        mlp_type="swiglu", mlp_norm=True, attn_inner_norm=True, ln_eps=EPS,
+        scan_layers=scan_layers,
+    )
+    vt_split = VisionTransformer(**kw)
+    vt_fused = VisionTransformer(mlp_fused_gate=True, **kw)
+    params = vt_split.init(jax.random.PRNGKey(0), imgs)["params"]
+    fused = fuse_swiglu_params(params)
+
+    out_split = vt_split.apply({"params": params}, imgs)
+    out_fused = vt_fused.apply({"params": fused}, imgs)
+    assert float(jnp.abs(out_split - out_fused).max()) < 1e-5
+
+    # round-trip: split(fuse(params)) == params exactly
+    back = split_swiglu_params(fused)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        assert a.shape == b.shape and bool(jnp.all(a == b))
+
+    g = jax.grad(lambda p: (vt_fused.apply({"params": p}, imgs) ** 2).sum())(fused)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
