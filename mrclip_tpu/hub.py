@@ -38,6 +38,11 @@ def export_torch_state_dict(
     exports — its param tree is indistinguishable from a plain ViT's, but
     the reference loads it from the `visual.trunk.*` timm layout.
     """
+    from .models.layers import split_swiglu_params
+
+    # fused-gate SwiGLU trees (create_model(swiglu_fused=True): one fc1
+    # [D, 2H] param) export in the torch/timm SPLIT layout — normalize first.
+    params = split_swiglu_params(params)
     sd = {}
 
     def put(key, val):
