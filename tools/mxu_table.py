@@ -48,6 +48,59 @@ def categorize(name: str, ident: str) -> str:
     return f"{tower}/other/{bwd}" if tower else "other"
 
 
+_DTYPE_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "f64": 8, "s8": 1, "u8": 1,
+                "s32": 4, "u32": 4, "pred": 1}
+
+
+def _shapes(txt: str):
+    """[(dtype, dims), ...] for every `dtype[d0,d1,..]` in `txt`."""
+    return [
+        (m.group(1), tuple(int(x) for x in m.group(2).split(",") if x))
+        for m in re.finditer(r"(\w+)\[([\d,]*)\]", txt)
+    ]
+
+
+def pallas_attn_estimate(long_name: str):
+    """Analytic (flops, bytes) for ops/fused_attn.py packed-kernel
+    custom-calls — the trace reports model_flops=0/bytes_accessed=0 for
+    Pallas kernels, which silently understates their component's MXU/BW
+    aggregates. Shapes come from the HLO long_name; every block streams
+    HBM->VMEM exactly once per grid program, so bytes = sum of operand +
+    result buffer sizes. Matmul flops: fwd = QK^T + PV = 4*B*H*N^2*D;
+    bwd = s recompute + dv + dp + dq + dk = 10*B*H*N^2*D; the in-kernel
+    rope rotation adds 2 (fwd) / 4 (bwd) [N,D]x[D,D] matmuls per head."""
+    m = re.match(r"%\S+ = \((.*?)\) custom-call\((.*)", long_name, re.S)
+    if not m:
+        return None
+    results = _shapes(m.group(1))
+    op_txt = m.group(2).split("custom_call_target")[0]
+    operands = _shapes(op_txt)
+    nbytes = sum(
+        _DTYPE_BYTES.get(dt, 4) * _prod(dims) for dt, dims in results + operands
+    )
+    lse = next((dims for dt, dims in results + operands
+                if dt == "f32" and len(dims) == 3), None)
+    o = next((dims for dt, dims in results if len(dims) == 3 and dt != "f32"), None)
+    if lse is None or o is None:
+        return 0, nbytes
+    b, n, hd = o
+    h = lse[1]
+    d = hd // h
+    rope = any(len(dims) == 2 for dt, dims in operands)
+    if len(results) >= 3:  # bwd: dq, dk, dv out
+        flops = 10 * b * h * n * n * d + (8 * b * h * n * d * d if rope else 0)
+    else:  # fwd: o, lse out
+        flops = 4 * b * h * n * n * d + (4 * b * h * n * d * d if rope else 0)
+    return flops, nbytes
+
+
+def _prod(dims):
+    out = 1
+    for x in dims:
+        out *= x
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace")
@@ -75,6 +128,7 @@ def main():
     groups = collections.defaultdict(Agg)
     per_op = collections.defaultdict(Agg)
     total_dur = 0.0
+    n_estimated = 0
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) != op_tid:
             continue
@@ -87,6 +141,12 @@ def main():
         nbytes = float(a.get("raw_bytes_accessed", a.get("bytes_accessed", 0)) or 0)
         ident = " ".join((a.get("tf_op", ""), a.get("source_stack", ""),
                           a.get("long_name", "")))
+        if (not flops and not nbytes and a.get("hlo_category") == "custom-call"
+                and "fused_attn.py" in ident):
+            est = pallas_attn_estimate(a.get("long_name", ""))
+            if est:
+                flops, nbytes = float(est[0]), float(est[1])
+                n_estimated += 1
         cat = categorize(name, ident)
         for tab, key in ((groups, cat), (per_op, name)):
             g = tab[key]
@@ -125,6 +185,10 @@ def main():
     print(f"\ntotal model_flops/run: {tot_fl/1e12:.2f} TF"
           f"   overall {tot_fl/total_dur/1e12:.1f} TF/s"
           f" = {100*tot_fl/total_dur/1e12/args.peak_tflops:.1f}% MXU peak")
+    if n_estimated:
+        print(f"({n_estimated} Pallas fused_attn custom-calls report no "
+              "model_flops/bytes in the trace; their flops/bytes above are "
+              "ANALYTIC estimates from the HLO shapes)")
 
 
 if __name__ == "__main__":
