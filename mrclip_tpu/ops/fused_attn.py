@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -235,7 +236,26 @@ def _rope_unrotate_grad(g, sin, cos, rmat, dtype):
     return g * cos - rot
 
 
-def _packed_fwd_kernel(*refs, heads, scale, causal, rope):
+# Head scheduling inside the packed kernels:
+#   'loop'    — per-head python loop (12 small K=64 matmuls interleaved
+#               with their softmax VPU chains).
+#   'batched' — one VMEM relayout [N, H*D] -> [H, N, D] per tensor, then
+#               every stage is a single H-batched dot_general / vectorized
+#               softmax over [H, N, Nk].
+# The analytic per-op table (tools/mxu_table.py) shows the loop bwd kernel
+# at ~16% MXU / ~30% HBM BW on EVA02/B-16 shapes — bound by neither
+# roofline, i.e. serialization — so 'batched' trades a one-time relayout
+# for MXU ops the compiler can pipeline. Env-switched for on-chip A/B.
+_HEAD_MODE_VAR = "MRCLIP_FUSEDP_HEADS"
+
+
+def _heads_first(x2, heads):
+    """[N, H*D] -> [H, N, D] (VMEM relayout)."""
+    n, hd = x2.shape
+    return x2.reshape(n, heads, hd // heads).transpose(1, 0, 2)
+
+
+def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
     """Natural-layout variant: blocks are [1, N, H*D] slabs (no HBM-side
     transpose or pad — Mosaic masks the unaligned sequence edge). Heads are
     sliced on the lane dim in VMEM; one (batch,) grid program computes all
@@ -264,6 +284,36 @@ def _packed_fwd_kernel(*refs, heads, scale, causal, rope):
         sin = r_ref[:, :d].astype(jnp.float32)
         cos = r_ref[:, d:].astype(jnp.float32)
         rmat = _rot_matrix(d, q_ref.dtype)
+    if batched:
+        q = _heads_first(q_ref[0], heads)  # [H, N, D]
+        k = _heads_first(k_ref[0], heads)
+        v = _heads_first(v_ref[0], heads)
+        if r_ref is not None:
+            rot_q = jax.lax.dot_general(
+                q, rmat, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            q = (q.astype(jnp.float32) * cos[None] + rot_q * sin[None]).astype(q.dtype)
+            rot_k = jax.lax.dot_general(
+                k, rmat, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            k = (k.astype(jnp.float32) * cos[None] + rot_k * sin[None]).astype(k.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # [H, N, Nk]
+        if mask is not None:
+            s = s + mask[None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        lse_ref[0] = (m + jnp.log(l))[..., 0]
+        o = jax.lax.dot_general(
+            (p / l).astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [H, N, D]
+        o_ref[0] = o.astype(q.dtype).transpose(1, 0, 2).reshape(n, hd)
+        return
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
@@ -285,7 +335,7 @@ def _packed_fwd_kernel(*refs, heads, scale, causal, rope):
         ).astype(qh.dtype)
 
 
-def _packed_bwd_kernel(*refs, heads, scale, causal, rope):
+def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
     if rope:
         (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
          dq_ref, dk_ref, dv_ref) = refs
@@ -304,6 +354,57 @@ def _packed_bwd_kernel(*refs, heads, scale, causal, rope):
         sin = r_ref[:, :d].astype(jnp.float32)
         cos = r_ref[:, d:].astype(jnp.float32)
         rmat = _rot_matrix(d, q_ref.dtype)
+    if batched:
+        q = _heads_first(q_ref[0], heads)  # [H, N, D]
+        k = _heads_first(k_ref[0], heads)
+        v = _heads_first(v_ref[0], heads)
+        o = _heads_first(o_ref[0], heads)
+        do = _heads_first(do_ref[0], heads)
+        lse = lse_ref[0]  # [H, N]
+        dt = q.dtype
+
+        def brot(x):
+            return jax.lax.dot_general(
+                x, rmat, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if r_ref is not None:
+            q = (q.astype(jnp.float32) * cos[None] + brot(q) * sin[None]).astype(dt)
+            k = (k.astype(jnp.float32) * cos[None] + brot(k) * sin[None]).astype(dt)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            s = s + mask[None]
+        p = jnp.exp(s - lse[..., None])
+        pb = p.astype(dt)
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [H, Nk, D]
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [H, N, Nk]
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+        ds = (p * (dp - delta[..., None]) * scale).astype(dt)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        if r_ref is not None:
+            # dx = g*cos - (g*sin) @ R  (R^T = -R)
+            dq = dq * cos[None] - brot((dq * sin[None]).astype(dt))
+            dk = dk * cos[None] - brot((dk * sin[None]).astype(dt))
+
+        def back(x3):  # [H, M, D] -> [M, H*D] (M = n for dq, nk for dk/dv)
+            return x3.astype(dt).transpose(1, 0, 2).reshape(x3.shape[1], hd)
+
+        dq_ref[0] = back(dq)
+        dk_ref[0] = back(dk)
+        dv_ref[0] = back(dv)
+        return
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
@@ -370,6 +471,7 @@ def _pfwd_impl(q, k, v, head_dim, causal, interpret, tab=None):
     kern = functools.partial(
         _packed_fwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
         causal=causal, rope=tab is not None,
+        batched=os.environ.get(_HEAD_MODE_VAR, "loop") == "batched",
     )
     in_specs = [_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)]
     args = (q, k, v)
@@ -396,6 +498,7 @@ def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab=None):
     kern = functools.partial(
         _packed_bwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
         causal=causal, rope=tab is not None,
+        batched=os.environ.get(_HEAD_MODE_VAR, "loop") == "batched",
     )
     in_specs = [_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)]
     args = (q, k, v)
