@@ -239,20 +239,21 @@ def _rope_unrotate_grad(g, sin, cos, rmat, dtype):
 # Head scheduling inside the packed kernels:
 #   'loop'    — per-head python loop (12 small K=64 matmuls interleaved
 #               with their softmax VPU chains).
-#   'batched' — one VMEM relayout [N, H*D] -> [H, N, D] per tensor, then
+#   'batched' — per-head lane slices copied once into a VMEM scratch
+#               [H, N, D] (plain stores; an in-kernel
+#               reshape(n, h, d).transpose would be a `tpu.reshape` Mosaic
+#               rejects — "unsupported shape cast", q8 log 10:02), then
 #               every stage is a single H-batched dot_general / vectorized
 #               softmax over [H, N, Nk].
 # The analytic per-op table (tools/mxu_table.py) shows the loop bwd kernel
 # at ~16% MXU / ~30% HBM BW on EVA02/B-16 shapes — bound by neither
-# roofline, i.e. serialization — so 'batched' trades a one-time relayout
+# roofline, i.e. serialization — so 'batched' trades the scratch copies
 # for MXU ops the compiler can pipeline. Env-switched for on-chip A/B.
 _HEAD_MODE_VAR = "MRCLIP_FUSEDP_HEADS"
 
 
-def _heads_first(x2, heads):
-    """[N, H*D] -> [H, N, D] (VMEM relayout)."""
-    n, hd = x2.shape
-    return x2.reshape(n, heads, hd // heads).transpose(1, 0, 2)
+def _head_mode() -> bool:
+    return os.environ.get(_HEAD_MODE_VAR, "loop") == "batched"
 
 
 def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
@@ -268,7 +269,12 @@ def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
     is opaque, so XLA must materialize the rotated q/k); EVA02's attention
     is byte-bound (profiles/r4_eva02: 75-80% HBM BW), making those bytes
     pure overhead."""
-    if rope:
+    if batched:
+        if rope:
+            (q_ref, k_ref, v_ref, r_ref, o_ref, lse_ref, q3, k3, v3) = refs
+        else:
+            (q_ref, k_ref, v_ref, o_ref, lse_ref, q3, k3, v3), r_ref = refs, None
+    elif rope:
         q_ref, k_ref, v_ref, r_ref, o_ref, lse_ref = refs
     else:
         (q_ref, k_ref, v_ref, o_ref, lse_ref), r_ref = refs, None
@@ -285,20 +291,16 @@ def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
         cos = r_ref[:, d:].astype(jnp.float32)
         rmat = _rot_matrix(d, q_ref.dtype)
     if batched:
-        q = _heads_first(q_ref[0], heads)  # [H, N, D]
-        k = _heads_first(k_ref[0], heads)
-        v = _heads_first(v_ref[0], heads)
-        if r_ref is not None:
-            rot_q = jax.lax.dot_general(
-                q, rmat, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            q = (q.astype(jnp.float32) * cos[None] + rot_q * sin[None]).astype(q.dtype)
-            rot_k = jax.lax.dot_general(
-                k, rmat, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            k = (k.astype(jnp.float32) * cos[None] + rot_k * sin[None]).astype(k.dtype)
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh = q_ref[0, :, sl], k_ref[0, :, sl]
+            if r_ref is not None:
+                qh = _rope_rotate(qh, sin, cos, rmat)
+                kh = _rope_rotate(kh, sin, cos, rmat)
+            q3[h] = qh
+            k3[h] = kh
+            v3[h] = v_ref[0, :, sl]
+        q, k, v = q3[:], k3[:], v3[:]  # [H, N|Nk, D]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale  # [H, N, Nk]
@@ -312,7 +314,8 @@ def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
             (p / l).astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [H, N, D]
-        o_ref[0] = o.astype(q.dtype).transpose(1, 0, 2).reshape(n, hd)
+        for h in range(heads):
+            o_ref[0, :, h * d : (h + 1) * d] = o[h].astype(q.dtype)
         return
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
@@ -336,7 +339,14 @@ def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
 
 
 def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
-    if rope:
+    if batched:
+        if rope:
+            (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
+             dq_ref, dk_ref, dv_ref, q3, k3, v3, o3, do3) = refs
+        else:
+            (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+             dq_ref, dk_ref, dv_ref, q3, k3, v3, o3, do3), r_ref = refs, None
+    elif rope:
         (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
          dq_ref, dk_ref, dv_ref) = refs
     else:
@@ -355,23 +365,21 @@ def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
         cos = r_ref[:, d:].astype(jnp.float32)
         rmat = _rot_matrix(d, q_ref.dtype)
     if batched:
-        q = _heads_first(q_ref[0], heads)  # [H, N, D]
-        k = _heads_first(k_ref[0], heads)
-        v = _heads_first(v_ref[0], heads)
-        o = _heads_first(o_ref[0], heads)
-        do = _heads_first(do_ref[0], heads)
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh = q_ref[0, :, sl], k_ref[0, :, sl]
+            if r_ref is not None:
+                qh = _rope_rotate(qh, sin, cos, rmat)
+                kh = _rope_rotate(kh, sin, cos, rmat)
+            q3[h] = qh
+            k3[h] = kh
+            v3[h] = v_ref[0, :, sl]
+            o3[h] = o_ref[0, :, sl]
+            do3[h] = do_ref[0, :, sl]
+        q, k, v = q3[:], k3[:], v3[:]
+        o, do = o3[:], do3[:]
         lse = lse_ref[0]  # [H, N]
         dt = q.dtype
-
-        def brot(x):
-            return jax.lax.dot_general(
-                x, rmat, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        if r_ref is not None:
-            q = (q.astype(jnp.float32) * cos[None] + brot(q) * sin[None]).astype(dt)
-            k = (k.astype(jnp.float32) * cos[None] + brot(k) * sin[None]).astype(dt)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
@@ -389,21 +397,20 @@ def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
         ds = (p * (dp - delta[..., None]) * scale).astype(dt)
         dq = jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+        )  # [H, N, D]
         dk = jax.lax.dot_general(
             ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        if r_ref is not None:
-            # dx = g*cos - (g*sin) @ R  (R^T = -R)
-            dq = dq * cos[None] - brot((dq * sin[None]).astype(dt))
-            dk = dk * cos[None] - brot((dk * sin[None]).astype(dt))
-
-        def back(x3):  # [H, M, D] -> [M, H*D] (M = n for dq, nk for dk/dv)
-            return x3.astype(dt).transpose(1, 0, 2).reshape(x3.shape[1], hd)
-
-        dq_ref[0] = back(dq)
-        dk_ref[0] = back(dk)
-        dv_ref[0] = back(dv)
+        )  # [H, Nk, D]
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            dqh, dkh = dq[h], dk[h]
+            if r_ref is not None:
+                # dx = g*cos - (g*sin) @ R  (R^T = -R)
+                dqh = _rope_unrotate_grad(dqh, sin, cos, rmat, dt)
+                dkh = _rope_unrotate_grad(dkh, sin, cos, rmat, dt)
+            dq_ref[0, :, sl] = dqh.astype(dt)
+            dk_ref[0, :, sl] = dkh.astype(dt)
+            dv_ref[0, :, sl] = dv[h].astype(dt)
         return
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
@@ -468,16 +475,23 @@ def _pfwd_impl(q, k, v, head_dim, causal, interpret, tab=None):
         "(is the tensor-parallel axis size a divisor of num_heads?)"
     )
     heads = hd // head_dim
+    batched = _head_mode()
     kern = functools.partial(
         _packed_fwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
-        causal=causal, rope=tab is not None,
-        batched=os.environ.get(_HEAD_MODE_VAR, "loop") == "batched",
+        causal=causal, rope=tab is not None, batched=batched,
     )
     in_specs = [_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)]
     args = (q, k, v)
     if tab is not None:
         in_specs.append(_rspec(n, tab.shape[1]))
         args += (tab,)
+    scratch = []
+    if batched:
+        scratch = [
+            pltpu.VMEM((heads, n, head_dim), q.dtype),
+            pltpu.VMEM((heads, nk, head_dim), q.dtype),
+            pltpu.VMEM((heads, nk, head_dim), q.dtype),
+        ]
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -487,6 +501,7 @@ def _pfwd_impl(q, k, v, head_dim, causal, interpret, tab=None):
             jax.ShapeDtypeStruct((b, n, hd), q.dtype),
             jax.ShapeDtypeStruct((b, heads, n), jnp.float32),
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
@@ -495,10 +510,10 @@ def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab=None):
     b, n, hd = q.shape
     nk = k.shape[1]
     heads = hd // head_dim
+    batched = _head_mode()
     kern = functools.partial(
         _packed_bwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
-        causal=causal, rope=tab is not None,
-        batched=os.environ.get(_HEAD_MODE_VAR, "loop") == "batched",
+        causal=causal, rope=tab is not None, batched=batched,
     )
     in_specs = [_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)]
     args = (q, k, v)
@@ -507,6 +522,15 @@ def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab=None):
         args += (tab,)
     in_specs += [_pspec(n, hd), _pspec(n, hd), _pspec(heads, n)]
     args += (o, do, lse)
+    scratch = []
+    if batched:
+        scratch = [
+            pltpu.VMEM((heads, n, head_dim), q.dtype),
+            pltpu.VMEM((heads, nk, head_dim), q.dtype),
+            pltpu.VMEM((heads, nk, head_dim), q.dtype),
+            pltpu.VMEM((heads, n, head_dim), q.dtype),
+            pltpu.VMEM((heads, n, head_dim), q.dtype),
+        ]
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -517,6 +541,7 @@ def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab=None):
             jax.ShapeDtypeStruct((b, nk, hd), q.dtype),
             jax.ShapeDtypeStruct((b, nk, hd), q.dtype),
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
