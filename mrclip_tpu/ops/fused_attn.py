@@ -63,11 +63,21 @@ def _pad_to(n: int) -> int:
 
 
 def _pick_group(bh: int, np_q: int, np_k: int, budget: int) -> int:
-    """Largest G dividing bh with G * Npq * Npk * 4B under the VMEM budget."""
-    for g in (16, 8, 4, 2, 1):
+    """Largest G dividing bh with G * Npq * Npk * 4B under the VMEM budget.
+
+    G is constrained to multiples of 8 (or bh itself): the [bh, Np_q] lse
+    output is 2-D, and Mosaic requires a 2-D block's second-to-last dim to
+    be divisible by 8 or equal the array dim — g=4 at bh=12 (batch-1 init
+    trace, 12 heads) was rejected with "block shape (4, 256) ... array
+    shape (12, 256)" (r4 queue10 log). The g == bh fallback makes the
+    block the whole array (always legal); it only triggers when bh has no
+    multiple-of-8 divisor under budget, i.e. tiny probe/init batches."""
+    for g in (16, 8):
         if bh % g == 0 and g * np_q * np_k * 4 <= budget:
             return g
-    return 1
+    if bh % 8 == 0:
+        return 8  # over budget but legal — beats a whole-array block
+    return bh
 
 
 def _mask(np_q: int, np_k: int, n_k: int, causal: bool, dtype):
@@ -248,12 +258,18 @@ def _rope_unrotate_grad(g, sin, cos, rmat, dtype):
 # The analytic per-op table (tools/mxu_table.py) shows the loop bwd kernel
 # at ~16% MXU / ~30% HBM BW on EVA02/B-16 shapes — bound by neither
 # roofline, i.e. serialization — so 'batched' trades the scratch copies
-# for MXU ops the compiler can pipeline. Env-switched for on-chip A/B.
+# for MXU ops the compiler can pipeline. On-chip A/B (r4 queue10, logs in
+# tools/r4_bench.log) confirmed 'batched' wins everywhere measured:
+# ViT-B-16 b88 950.4 vs 896.4 pairs/s (+6.0%, 62.0% MFU), EVA02-B-16 b64
+# 816.7 vs 754.2 (+8.3%) — so 'batched' is the default; set
+# MRCLIP_FUSEDP_HEADS=loop for the serialized per-head variant (numerics
+# are identical: on-chip probe maxdiff 0.0, CPU parity test
+# tests/test_fused_attn.py::test_batched_head_mode_matches_loop).
 _HEAD_MODE_VAR = "MRCLIP_FUSEDP_HEADS"
 
 
 def _head_mode() -> bool:
-    return os.environ.get(_HEAD_MODE_VAR, "loop") == "batched"
+    return os.environ.get(_HEAD_MODE_VAR, "batched") == "batched"
 
 
 def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):

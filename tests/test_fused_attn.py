@@ -24,7 +24,7 @@ from mrclip_tpu.ops.fused_attn import fused_attention, fused_attention_packed
         (2, 197, 197, 4, False),   # ViT-B/16 sequence
         (2, 98, 98, 4, True),      # text tower, causal
         (1, 76, 255, 2, False),    # CoCa decoder cross-attention lengths
-        (3, 257, 257, 2, False),   # ViT-L/14 (pads to 384, G=1 fallback)
+        (3, 257, 257, 2, False),   # ViT-L/14 (pads to 384, g=bh fallback)
         (1, 64, 64, 5, True),      # bh=5: indivisible head groups
     ],
 )
@@ -36,6 +36,22 @@ def test_matches_xla_attention(b, n, nk, h, causal, fn):
     ref = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
     out = fn(q, k, v, is_causal=causal, interpret=True)
     assert float(jnp.abs(out - ref).max()) < 1e-4
+
+
+def test_pick_group_blocks_are_mosaic_legal():
+    """Every group size must be a multiple of 8 or bh itself: the 2-D
+    [bh, Np_q] lse output's block is (g, Np_q), and Mosaic rejects a 2-D
+    block whose second-to-last dim is neither divisible by 8 nor equal to
+    the array dim. bh=12 (batch-1 trace of a 12-head tower) used to pick
+    g=4 and fail TPU lowering with "block shape (4, 256), array shape
+    (12, 256)" (r4 queue10 log)."""
+    from mrclip_tpu.ops.fused_attn import _pick_group
+
+    for bh in (1, 5, 6, 12, 24, 88 * 12, 30, 256, 1056):
+        for np_q, np_k in ((256, 256), (384, 384), (128, 256)):
+            g = _pick_group(bh, np_q, np_k, 2 * 1024 * 1024)
+            assert bh % g == 0, (bh, g)
+            assert g % 8 == 0 or g == bh, (bh, g)
 
 
 @pytest.mark.parametrize("n,causal", [(197, False), (98, True)])
@@ -284,10 +300,11 @@ def test_fusedp_sharded_matches_unsharded():
 @pytest.mark.parametrize("rope_prefix", [None, 1])
 def test_batched_head_mode_matches_loop(monkeypatch, rope_prefix):
     """MRCLIP_FUSEDP_HEADS=batched (one H-batched dot_general per stage,
-    heads relayouted [N, H*D] -> [H, N, D] in VMEM) == the default per-head
-    loop, fwd AND grads, with and without rope-in-kernel. The loop bwd
-    kernel traces at ~16% MXU / ~30% BW (bound by neither roofline); the
-    batched form exists so the scheduler can pipeline the head matmuls."""
+    heads relayouted [N, H*D] -> [H, N, D] in VMEM; the r4 default) ==
+    MRCLIP_FUSEDP_HEADS=loop (per-head python loop), fwd AND grads, with
+    and without rope-in-kernel. The loop bwd kernel traces at ~16% MXU /
+    ~30% BW (bound by neither roofline — serialization); batched lets the
+    scheduler pipeline the head matmuls (on-chip: 950 vs 896 pairs/s)."""
     b, n, h, d = 2, 21, 4, 8
     rng = np.random.RandomState(17)
     q, k, v = (jnp.asarray(rng.randn(b, n, h, d), jnp.float32) for _ in range(3))
@@ -301,6 +318,7 @@ def test_batched_head_mode_matches_loop(monkeypatch, rope_prefix):
         )
         return (o * w).sum()
 
+    monkeypatch.setenv("MRCLIP_FUSEDP_HEADS", "loop")
     want = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
     monkeypatch.setenv("MRCLIP_FUSEDP_HEADS", "batched")
     got = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
