@@ -93,8 +93,13 @@ def _maybe_rerun_with_retries():
     # initialize a backend; children still get fresh ones.
     from mrclip_tpu.utils import acquire_chip_lock
 
+    _t0 = time.perf_counter()
     acquire_chip_lock()
-    env = dict(os.environ, MRCLIP_BENCH_INNER="1")
+    lock_wait = time.perf_counter() - _t0
+    env = dict(
+        os.environ, MRCLIP_BENCH_INNER="1",
+        MRCLIP_LOCK_WAIT_S=f"{lock_wait:.3f}",
+    )
     # Per-attempt wall cap: a dead tunnel makes axon backend init BLOCK
     # (it does not fast-fail), which would hang the caller forever without
     # this. 4800s covers the slowest legit point (unrolled ViT-B tunnel
@@ -208,6 +213,18 @@ def main():
         help="with --infer: W8A8 int8 quantized encode (ops/quant.py; "
         "int8 MXU matmuls at 2x bf16 FLOP rate)",
     )
+    parser.add_argument(
+        "--windows", type=int, default=None,
+        help="timed measurement windows of --steps each (default 3 on TPU, "
+        "1 on CPU/--quick). Each window is timed individually (value "
+        "includes one dispatch+fetch round-trip through the tunnel), then "
+        "all windows run back-to-back with a single final fetch — the "
+        "chained number amortizes the fixed tunnel RTT over windows*steps "
+        "and is the reported steady-state `value`; the per-window spread "
+        "and the RTT estimate are emitted alongside for diagnosability "
+        "(r4's official 871 vs the defended 950 at a 4.6s single window "
+        "is exactly one ~0.4s RTT of unamortized fixed overhead)",
+    )
     args = parser.parse_args()
 
     import os
@@ -226,8 +243,15 @@ def main():
     from mrclip_tpu.utils import acquire_chip_lock, enable_compilation_cache
 
     # No-op on CPU and when the retry-wrapper parent already holds it.
+    _t_lock = time.perf_counter()
     acquire_chip_lock()
-    enable_compilation_cache()
+    # The retry-wrapper parent takes the real (possibly contended) lock and
+    # forwards its wait; the child's own acquire is then a no-op.
+    lock_wait_s = max(
+        time.perf_counter() - _t_lock,
+        float(os.environ.get("MRCLIP_LOCK_WAIT_S", "0") or 0),
+    )
+    cache_dir = enable_compilation_cache()
 
     import jax.numpy as jnp
 
@@ -337,12 +361,15 @@ def main():
         dt = time.perf_counter() - t0
         value = batch * steps / dt / (jax.device_count() if on_tpu else 1)
         tag = ", int8 W8A8" if args.int8 else ""
-        # ~1400 imgs/sec: single-A100 fp16 open_clip ViT-B/16 encode estimate.
+        # ~1400 imgs/sec: single-A100 fp16 open_clip ViT-B/16 encode estimate
+        # (ViT-B-16 only; a cross-model ratio would be meaningless).
         print(json.dumps({
             "metric": f"images/sec/chip ({model_name} encode_image, forward only{tag})",
             "value": round(value, 2),
             "unit": "imgs/sec/chip",
-            "vs_baseline": round(value / 1400.0, 3),
+            "vs_baseline": (
+                round(value / 1400.0, 3) if model_name == "ViT-B-16" else None
+            ),
         }))
         return
 
@@ -414,6 +441,10 @@ def main():
 
     trace_ctx = best_effort_trace(args.trace) if args.trace else contextlib.nullcontext()
 
+    windows = args.windows or (3 if (on_tpu and not args.quick) else 1)
+    win_vals = []  # per-window pairs/s, each incl. one dispatch+fetch RTT
+    warmup_s = None
+
     if args.fused:
         # Fuse the timed steps into one lax.scan dispatch: per-call dispatch
         # latency is paid once; the device still executes `steps` sequential
@@ -427,23 +458,40 @@ def main():
             return jax.lax.scan(body, state, keys)
 
         keys = jax.random.split(key, steps)
+        _t_w = time.perf_counter()
         state2, losses = run_n(state, keys)  # compile + warmup
         float(losses[-1])
+        warmup_s = time.perf_counter() - _t_w
+        # Individually-timed windows: run-to-run spread at this instant.
+        s = state
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            s, losses = run_n(s, keys)
+            float(losses[-1])
+            win_vals.append(batch * steps / (time.perf_counter() - t0))
+        # Chained steady-state measurement: `windows` dispatches back to
+        # back, ONE final value fetch. Dispatch overlaps execution, so the
+        # fixed tunnel round-trip is amortized over windows*steps — this is
+        # the number a long training run sustains and the reported value.
         with trace_ctx:
             t0 = time.perf_counter()
-            state2, losses = run_n(state, keys)
+            s = state
+            for _ in range(windows):
+                s, losses = run_n(s, keys)
             final_loss = float(losses[-1])
             dt = time.perf_counter() - t0
         # Cost-analyze ONE step: XLA counts a lax.scan body once, not
         # x trip-count, so lowering run_n would under-report by `steps`.
         lowerable = jax.jit(lambda s, b, k: step.raw(s, prep(b), k))
         lower_args = (state, batch_data, key)
-        flops_div = float(steps)
+        total_steps = steps * windows
     else:
         fstep = jax.jit(lambda s, b, k: step.raw(s, prep(b), k), donate_argnums=(0,))
         # warmup / compile (value fetch forces real execution)
+        _t_w = time.perf_counter()
         state, metrics = fstep(state, batch_data, key)
         float(metrics["loss"])
+        warmup_s = time.perf_counter() - _t_w
         with trace_ctx:
             t0 = time.perf_counter()
             for i in range(steps):
@@ -451,14 +499,15 @@ def main():
             final_loss = float(metrics["loss"])  # syncs the whole chain
             dt = time.perf_counter() - t0
         lowerable, lower_args = fstep, (state, batch_data, key)
-        flops_div = float(steps)  # cost analysis covers one step; scale to the window
+        total_steps = steps
+    flops_div = float(total_steps)  # cost analysis covers one step
     assert np.isfinite(final_loss)
 
     if args.mfu:
-        _report_mfu(lowerable, lower_args, dt, steps, batch, flops_div,
+        _report_mfu(lowerable, lower_args, dt, total_steps, batch, flops_div,
                     gflops_per_pair=args.gflops_per_pair)
 
-    pairs_per_sec = batch * steps / dt
+    pairs_per_sec = batch * total_steps / dt
     n_chips = jax.device_count() if on_tpu else 1
     value = pairs_per_sec / n_chips
     # create_loss dispatches coca models to coca_loss (contrastive +
@@ -476,7 +525,13 @@ def main():
         "metric": f"image-text pairs/sec/chip ({model_name} {loss_desc} train step)",
         "value": round(value, 2),
         "unit": "pairs/sec/chip",
-        "vs_baseline": round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3),
+        # The A100 open_clip anchor is a ViT-B/16 number; a cross-model
+        # ratio (e.g. ViTamin-L at 0.28) reads as a regression, so only the
+        # headline model reports it (r4 verdict item 3).
+        "vs_baseline": (
+            round(value / A100_OPENCLIP_VITB16_PAIRS_PER_SEC, 3)
+            if model_name == "ViT-B-16" else None
+        ),
     }
     # Exact CPU-lowered FLOPs bases (tools/flops_count.py, at each model's
     # measured operating batch; the loss term makes per-pair FLOPs weakly
@@ -497,6 +552,31 @@ def main():
         peak = next((p for s, p in _PEAK_TFLOPS if s in kind), None)
         if peak is not None:
             result["mfu_pct"] = round(100.0 * value * basis * 1e9 / (peak * 1e12), 1)
+    # Environment fingerprint + run-to-run spread, so a deviant scoreboard
+    # number is diagnosable after the fact (r4 verdict item 1: the official
+    # 871.02 vs the defended 950.4 had no variance data to arbitrate).
+    if win_vals:
+        result["windows_pairs_per_sec"] = [round(w, 1) for w in win_vals]
+        med = float(np.median(win_vals))
+        if med > 0:
+            result["window_spread_pct"] = round(
+                100.0 * (max(win_vals) - min(win_vals)) / med, 2
+            )
+        # Mean per-window wall time minus the chained per-window share =
+        # the fixed dispatch+fetch round-trip each isolated window pays.
+        mean_win_dt = float(np.mean([batch * steps / w for w in win_vals]))
+        result["fixed_overhead_s_est"] = round(mean_win_dt - dt / windows, 3)
+    result["diag"] = {
+        "device_kind": jax.devices()[0].device_kind if on_tpu else "cpu",
+        "steps": steps,
+        "windows": windows,
+        "batch": batch,
+        "attn_impl": attn_impl,
+        "warmup_s": round(warmup_s, 1) if warmup_s is not None else None,
+        "lock_wait_s": round(lock_wait_s, 1),
+        "compile_cache": cache_dir or "disabled",
+        "final_loss": round(final_loss, 4),
+    }
     print(json.dumps(result))
 
 

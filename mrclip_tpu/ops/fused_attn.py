@@ -63,15 +63,20 @@ def _pad_to(n: int) -> int:
 
 
 def _pick_group(bh: int, np_q: int, np_k: int, budget: int) -> int:
-    """Largest G dividing bh with G * Npq * Npk * 4B under the VMEM budget.
+    """Mosaic-legal group size G dividing bh, BEST-EFFORT under the VMEM
+    budget (G * Npq * Npk * 4B): for multiple-of-8 bh the floor is g=8 even
+    when that exceeds the budget — at CLIP sequence lengths (Np <= 384) the
+    8-group scores block tops out at ~4.7 MB, which fits, and a smaller
+    group would be Mosaic-illegal anyway.
 
     G is constrained to multiples of 8 (or bh itself): the [bh, Np_q] lse
     output is 2-D, and Mosaic requires a 2-D block's second-to-last dim to
     be divisible by 8 or equal the array dim — g=4 at bh=12 (batch-1 init
     trace, 12 heads) was rejected with "block shape (4, 256) ... array
-    shape (12, 256)" (r4 queue10 log). The g == bh fallback makes the
-    block the whole array (always legal); it only triggers when bh has no
-    multiple-of-8 divisor under budget, i.e. tiny probe/init batches."""
+    shape (12, 256)" (r4 queue10 log). `fused_attention` pads bh up to a
+    multiple of 8 before calling, so the g == bh whole-array fallback
+    (unbounded VMEM for large odd bh, e.g. bh=36 at Np=256 is ~9.4 MB)
+    is only reachable for bh < 8."""
     for g in (16, 8):
         if bh % g == 0 and g * np_q * np_k * 4 <= budget:
             return g
@@ -841,13 +846,21 @@ def fused_attention(
     n_k = k.shape[1]
     np_q, np_k = _pad_to(n_q), _pad_to(n_k)
 
+    # Pad the flattened batch*head dim to a multiple of 8 so _pick_group
+    # always finds a bounded Mosaic-legal group (a bh=36-style whole-array
+    # block is ~9.4 MB of VMEM scores). Padded rows compute softmax over a
+    # zero (then kv-masked) sequence — garbage, but sliced off, and their
+    # cotangents are zero so gradients of real rows are untouched.
+    bh = b * h
+    bh_pad = (-bh % 8) if bh >= 8 else 0
+
     def prep(t, n, np_):
         t = t.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-        if np_ != n:
-            t = jnp.pad(t, ((0, 0), (0, np_ - n), (0, 0)))
+        if np_ != n or bh_pad:
+            t = jnp.pad(t, ((0, bh_pad), (0, np_ - n), (0, 0)))
         return t
 
     qp, kp, vp = prep(q, n_q, np_q), prep(k, n_k, np_k), prep(v, n_k, np_k)
     o = _core(qp, kp, vp, n_k, is_causal, interpret)
-    o = o[:, :n_q].reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
+    o = o[:bh, :n_q].reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
     return o

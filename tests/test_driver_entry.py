@@ -29,7 +29,7 @@ def test_bench_quick_cli():
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert len(lines) == 1
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline", "diag"} <= set(rec)
     assert rec["unit"] == "pairs/sec/chip"
     assert rec["value"] > 0 and np.isfinite(rec["value"])
 
