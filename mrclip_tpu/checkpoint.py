@@ -432,21 +432,20 @@ def import_torch_state_dict(
     return jax.tree.map(jnp.asarray, params)
 
 
-def load_torch_checkpoint(path: str, **kwargs) -> dict:
-    """Load a `.pt`/`.bin`/`.safetensors`/`.npz` checkpoint into Flax params.
+_sd_cache: dict = {}  # single-entry raw state-dict cache (peek + load share)
 
-    Handles plain state dicts, `{'state_dict': ...}` training checkpoints,
-    OpenAI TorchScript archives (reference openai.py:24-90), and big_vision
-    npz files (dispatched to `convert.convert_state_dict`).
-    """
+
+def _read_state_dict(path: str) -> dict:
+    """Read the raw torch/safetensors state dict at `path` (1-entry cache:
+    the factory peeks the layout before building the model, then the loader
+    reads the same file — don't deserialize twice)."""
+    key = (path, os.path.getmtime(path))
+    if _sd_cache.get("key") == key:
+        return _sd_cache["sd"]
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         sd = load_file(path)
-    elif path.endswith(".npz"):
-        from .convert import big_vision_npz_to_params
-
-        return big_vision_npz_to_params(np.load(path), **kwargs)
     else:
         import torch
 
@@ -457,6 +456,36 @@ def load_torch_checkpoint(path: str, **kwargs) -> dict:
             # openai.py:40-55): pull the state dict out of the jit module.
             ckpt = torch.jit.load(path, map_location="cpu").state_dict()
         sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt.state_dict()
+    _sd_cache.clear()
+    _sd_cache.update(key=key, sd=sd)
+    return sd
+
+
+def peek_is_mobileclip(path: str) -> bool:
+    """True when `path` holds an Apple-layout MobileCLIP state dict (the
+    factory switches the vision tower to deploy-import mode before build)."""
+    if path.endswith(".npz"):
+        return False
+    from .convert import is_mobileclip_state_dict
+
+    try:
+        return is_mobileclip_state_dict(_read_state_dict(path))
+    except Exception:  # unreadable/other format: let the real loader report
+        return False
+
+
+def load_torch_checkpoint(path: str, **kwargs) -> dict:
+    """Load a `.pt`/`.bin`/`.safetensors`/`.npz` checkpoint into Flax params.
+
+    Handles plain state dicts, `{'state_dict': ...}` training checkpoints,
+    OpenAI TorchScript archives (reference openai.py:24-90), and big_vision
+    npz files (dispatched to `convert.convert_state_dict`).
+    """
+    if path.endswith(".npz"):
+        from .convert import big_vision_npz_to_params
+
+        return big_vision_npz_to_params(np.load(path), **kwargs)
+    sd = _read_state_dict(path)
     from .convert import convert_state_dict
 
     # dispatches open_clip/OpenAI layouts to import_torch_state_dict and

@@ -5,8 +5,12 @@ Capability parity with reference `src/open_clip/convert.py`:
   (SigLIP) -> model params. big_vision is itself a Flax codebase, so the
   mapping here is flax-to-flax (the reference has to transpose everything
   into torch layout; we don't).
-- `convert_mobile_clip_state_dict` (:152-191): MobileCLIP checkpoints target
-  timm towers (torch-specific); detected and rejected with guidance.
+- `convert_mobile_clip_state_dict` (:152-191): Apple MobileCLIP checkpoints
+  -> native deploy-form towers. The reference defers branch fusion to timm's
+  `checkpoint_filter_fn` at torch runtime; here the reparam math (conv+BN
+  fold, MobileOne branch sum, RepMixer/RepCPE identity split, layer-scale
+  folding) is done directly, torch-oracle-tested in
+  `tests/test_mobileclip_import.py`.
 - `timm_vit_to_vision_params`: TPU-native replacement for the reference's
   TimmModel adapter (`timm_model.py:29-153`) — remaps timm ViT checkpoints
   onto the native VisionTransformer instead of wrapping timm at runtime.
@@ -459,41 +463,519 @@ def timm_convnext_to_vision_params(sd: Mapping, **_ignored) -> dict:
     return jax.tree.map(jnp.asarray, out)
 
 
+# ---------------------------------------------------------------------------
+# MobileCLIP (Apple ml-mobileclip / corenet) checkpoints
+# ---------------------------------------------------------------------------
+#
+# Reference `convert.py:152-191` consumes these via timm's
+# `checkpoint_filter_fn` (branch fusion + renames) at torch runtime; here the
+# fusion math is done directly (conv+BN fold, MobileOne branch sum, RepMixer
+# reparam) into the native deploy-form towers (`models/fastvit.py` with
+# norm='affine': every BN position hosts the folded inference-mode affine,
+# so converted weights are numerically exact at inference).
+#
+# Source schemas: the text tower and the stem detection keys are documented
+# in the reference itself (convert.py:161-199); the S1/S2 trunk block naming
+# (network.*, token_mixer/convffn, rbr_* branches) follows the Apple fastvit
+# layout as recalled — a zero-egress environment, so every structural
+# expectation is VALIDATED at load and any mismatch raises naming the keys
+# seen (rejection reserved for genuinely unrecognized sublayouts).
+
+_BN_FIELDS = ("weight", "bias", "running_mean", "running_var")
+
+
+def _bn_stats(sd: Mapping, p: str, eps: float = 1e-5):
+    """(gamma/sigma, beta - mu*gamma/sigma): inference BN as per-channel affine."""
+    g, b, mu, var = (np.asarray(sd[f"{p}.{f}"], np.float64) for f in _BN_FIELDS)
+    s = g / np.sqrt(var + eps)
+    return s, b - mu * s
+
+
+def _fuse_conv_bn(sd: Mapping, conv_key: str, bn_prefix: str):
+    """Fold inference-mode BN into the preceding conv (torch OIHW layout)."""
+    w = np.asarray(sd[conv_key], np.float64)
+    s, b = _bn_stats(sd, bn_prefix)
+    return w * s[:, None, None, None], b
+
+
+def _center_pad(w: np.ndarray, k: int) -> np.ndarray:
+    """Pad a [O, I, kw, kw] kernel to k x k, centered (1x1 scale branches)."""
+    kw = w.shape[-1]
+    p0 = (k - kw) // 2
+    p1 = k - kw - p0
+    return np.pad(w, ((0, 0), (0, 0), (p0, p1), (p0, p1)))
+
+
+def _identity_kernel(out_ch: int, in_per_group: int, k: int) -> np.ndarray:
+    """[O, I/g, k, k] kernel acting as identity (BN skip branch host)."""
+    w = np.zeros((out_ch, in_per_group, k, k))
+    c = k // 2
+    for o in range(out_ch):
+        w[o, o % in_per_group, c, c] = 1.0
+    return w
+
+
+def _fuse_mobileone(sd: Mapping, p: str, k: int):
+    """MobileOneBlock -> single fused (w [O, I/g, k, k], b [O]), torch layout.
+
+    Branches: rbr_conv.{j} (k x k conv+BN, possibly several), rbr_scale
+    (1x1 conv+BN, padded to center), rbr_skip (bare BN identity). Already-
+    reparameterized checkpoints carry reparam_conv directly."""
+    if f"{p}.reparam_conv.weight" in sd:
+        return (
+            np.asarray(sd[f"{p}.reparam_conv.weight"], np.float64),
+            np.asarray(sd[f"{p}.reparam_conv.bias"], np.float64),
+        )
+    w = b = None
+    j = 0
+    while f"{p}.rbr_conv.{j}.conv.weight" in sd:
+        wj, bj = _fuse_conv_bn(sd, f"{p}.rbr_conv.{j}.conv.weight", f"{p}.rbr_conv.{j}.bn")
+        w = wj if w is None else w + wj
+        b = bj if b is None else b + bj
+        j += 1
+    if f"{p}.rbr_scale.conv.weight" in sd:
+        ws, bs = _fuse_conv_bn(sd, f"{p}.rbr_scale.conv.weight", f"{p}.rbr_scale.bn")
+        ws = _center_pad(ws, k)
+        w = ws if w is None else w + ws
+        b = bs if b is None else b + bs
+    if f"{p}.rbr_skip.weight" in sd:
+        s, bias = _bn_stats(sd, f"{p}.rbr_skip")
+        # BN-only blocks (RepMixer norm branches) are depthwise: in/group=1
+        out_ch, in_pg = len(s), (w.shape[1] if w is not None else 1)
+        wid = _identity_kernel(out_ch, in_pg, k) * s[:, None, None, None]
+        w = wid if w is None else w + wid
+        b = bias if b is None else b + bias
+    if w is None:
+        raise NotImplementedError(
+            f"MobileOne block '{p}' has no recognized branch "
+            f"(keys seen: {sorted(q for q in sd if q.startswith(p + '.'))[:8]})"
+        )
+    return w, b
+
+
+def _fuse_large_kernel(sd: Mapping, p: str):
+    """ReparamLargeKernelConv (dw 7x7 + dw small branch, conv+BN each)."""
+    if f"{p}.lkb_reparam.weight" in sd:
+        return (
+            np.asarray(sd[f"{p}.lkb_reparam.weight"], np.float64),
+            np.asarray(sd[f"{p}.lkb_reparam.bias"], np.float64),
+        )
+    w, b = _fuse_conv_bn(sd, f"{p}.lkb_origin.conv.weight", f"{p}.lkb_origin.bn")
+    if f"{p}.small_conv.conv.weight" in sd:
+        ws, bs = _fuse_conv_bn(sd, f"{p}.small_conv.conv.weight", f"{p}.small_conv.bn")
+        w = w + _center_pad(ws, w.shape[-1])
+        b = b + bs
+    return w, b
+
+
+def _tconv(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO conv kernel."""
+    return np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))
+
+
+def _dense_1x1(w: np.ndarray, b=None) -> dict:
+    """torch 1x1 conv [O, I, 1, 1] (or linear [O, I]) -> flax Dense."""
+    w = np.asarray(w, np.float64)
+    if w.ndim == 4:
+        if w.shape[2:] != (1, 1):
+            raise NotImplementedError(
+                f"expected 1x1 conv, got kernel {w.shape}"
+            )
+        w = w[:, :, 0, 0]
+    out = {"kernel": w.T.astype(np.float32)}
+    if b is not None:
+        out["bias"] = np.asarray(b, np.float32)
+    return out
+
+
+def _affine(scale, bias) -> dict:
+    return {"scale": np.asarray(scale, np.float32),
+            "bias": np.asarray(bias, np.float32)}
+
+
+def _mc_text_to_openclip(sd: Mapping) -> dict:
+    """Apple/corenet text tower -> open_clip torch key layout (the mapping
+    the reference documents verbatim at convert.py:161-184); consumed by
+    `checkpoint.import_torch_state_dict`."""
+    out = {}
+    pre = "text_encoder."
+    for k, v in sd.items():
+        if not k.startswith(pre):
+            continue
+        k = k[len(pre):]
+        k = k.replace("projection_layer", "text_projection")
+        k = k.replace("embedding_layer", "token_embedding")
+        if k.startswith("positional_embedding.pos_embed.pos_embed"):
+            k = "positional_embedding"
+            v = np.asarray(v).squeeze()
+        k = k.replace("final_layer_norm", "ln_final")
+        k = k.replace("pre_norm_mha.0", "ln_1")
+        k = k.replace("pre_norm_mha.1", "attn")
+        k = k.replace("pre_norm_ffn.0", "ln_2")
+        k = k.replace("pre_norm_ffn.1", "mlp.c_fc")
+        k = k.replace("pre_norm_ffn.4", "mlp.c_proj")
+        k = k.replace("qkv_proj.weight", "in_proj_weight")
+        k = k.replace("qkv_proj.bias", "in_proj_bias")
+        if k.startswith("transformer."):
+            k = "transformer.resblocks." + k[len("transformer."):]
+        out["text." + k] = np.asarray(v)
+    if "text.text_projection.weight" in out:
+        # the native custom-text tower projects with a bare [D, E] matrix
+        w = out.pop("text.text_projection.weight")
+        bias = out.pop("text.text_projection.bias", None)
+        if bias is not None and np.abs(bias).max() > 0:
+            raise NotImplementedError(
+                "MobileCLIP text projection carries a non-zero bias; the "
+                "native text tower projects bias-free"
+            )
+        out["text.text_projection"] = np.asarray(w).T
+    return out
+
+
+def _mc_corenet_block(sd: Mapping, p: str) -> dict:
+    """corenet TransformerEncoder block -> native ResidualAttentionBlock
+    tree (same naming family as the text side)."""
+    def lin(name):
+        return {
+            "kernel": np.asarray(sd[f"{p}.{name}.weight"]).T,
+            "bias": np.asarray(sd[f"{p}.{name}.bias"]),
+        }
+
+    def lnp(name):
+        return {"scale": np.asarray(sd[f"{p}.{name}.weight"]),
+                "bias": np.asarray(sd[f"{p}.{name}.bias"])}
+
+    return {
+        "ln_1": lnp("pre_norm_mha.0"),
+        "attn": {
+            "in_proj": lin("pre_norm_mha.1.qkv_proj"),
+            "out_proj": lin("pre_norm_mha.1.out_proj"),
+        },
+        "ln_2": lnp("pre_norm_ffn.0"),
+        "mlp": {"c_fc": lin("pre_norm_ffn.1"), "c_proj": lin("pre_norm_ffn.4")},
+    }
+
+
+def _mc_vision_b(sd: Mapping, pre: str = "image_encoder.model.") -> dict:
+    """MobileCLIP-B image tower (corenet conv-stem hybrid ViT) ->
+    `models/fastvit.py::HybridViT(norm='affine')` params."""
+    vis: dict = {}
+    i = 0
+    while f"{pre}patch_emb.{i}.block.conv.weight" in sd:
+        w = np.asarray(sd[f"{pre}patch_emb.{i}.block.conv.weight"])
+        vis[f"patch_emb_conv{i}"] = {
+            "kernel": _tconv(w),
+            "bias": np.asarray(
+                sd.get(f"{pre}patch_emb.{i}.block.conv.bias", np.zeros(w.shape[0]))
+            ),
+        }
+        vis[f"patch_emb_norm{i}"] = _affine(
+            *_bn_stats(sd, f"{pre}patch_emb.{i}.block.norm")
+        )
+        i += 1
+    if i == 0:
+        raise NotImplementedError(
+            f"MobileCLIP-B stem keys '{pre}patch_emb.*.block.conv.weight' "
+            "not found"
+        )
+
+    blocks = {}
+    j = 0
+    while f"{pre}transformer.{j}.pre_norm_mha.0.weight" in sd:
+        blocks[f"blocks_{j}"] = _mc_corenet_block(sd, f"{pre}transformer.{j}")
+        j += 1
+    if j == 0:
+        raise NotImplementedError(
+            f"MobileCLIP-B transformer keys '{pre}transformer.N.*' not found "
+            f"(keys seen: {sorted(q for q in sd if q.startswith(pre))[:8]})"
+        )
+    vis["transformer"] = blocks
+
+    if f"{pre}cls_token" in sd:
+        vis["cls_token"] = np.asarray(sd[f"{pre}cls_token"]).reshape(1, 1, -1)
+    pos_cands = [k for k in sd if k.startswith(pre) and "pos_embed" in k]
+    if pos_cands:
+        vis["pos_embed"] = np.asarray(sd[sorted(pos_cands)[0]]).squeeze()
+    for cand in ("post_transformer_norm", "norm", "ln_post"):
+        if f"{pre}{cand}.weight" in sd:
+            vis["norm_final"] = {
+                "scale": np.asarray(sd[f"{pre}{cand}.weight"]),
+                "bias": np.asarray(sd[f"{pre}{cand}.bias"]),
+            }
+            break
+    for cand in ("classifier.proj", "classifier", "head", "proj"):
+        wk = f"{pre}{cand}.weight"
+        if wk in sd and np.asarray(sd[wk]).ndim == 2:
+            vis["proj"] = np.asarray(sd[wk]).T
+            bk = f"{pre}{cand}.bias"
+            vis["proj_bias"] = (
+                np.asarray(sd[bk]) if bk in sd
+                else np.zeros(vis["proj"].shape[1], np.float32)
+            )
+            break
+    else:
+        if f"{pre}proj" in sd:  # bare Parameter variant
+            vis["proj"] = np.asarray(sd[f"{pre}proj"])
+            vis["proj_bias"] = np.zeros(vis["proj"].shape[1], np.float32)
+    return vis
+
+
+def _scale_dense_out(d: dict, gamma: np.ndarray) -> dict:
+    """Fold a per-output-channel layer scale into a Dense (exact)."""
+    return {"kernel": d["kernel"] * gamma[None, :], "bias": d["bias"] * gamma}
+
+
+def _mc_convffn(sd: Mapping, p: str, gamma=None) -> dict:
+    """Apple ConvFFN (dw7x7 conv+BN -> fc1 -> act -> fc2) -> _ConvFFN tree.
+    `gamma`: optional layer scale folded into fc2."""
+    dw = np.asarray(sd[f"{p}.conv.conv.weight"])
+    ffn = {
+        "conv_dw": {
+            "kernel": _tconv(dw),
+            "bias": np.asarray(
+                sd.get(f"{p}.conv.conv.bias", np.zeros(dw.shape[0]))
+            ),
+        },
+        "norm": _affine(*_bn_stats(sd, f"{p}.conv.bn")),
+        "fc1": _dense_1x1(sd[f"{p}.fc1.weight"], sd[f"{p}.fc1.bias"]),
+        "fc2": _dense_1x1(sd[f"{p}.fc2.weight"], sd[f"{p}.fc2.bias"]),
+    }
+    if gamma is not None:
+        ffn["fc2"] = _scale_dense_out(ffn["fc2"], gamma)
+    return ffn
+
+
+def _mc_repmixer_block(sd: Mapping, p: str) -> dict:
+    """Apple RepMixerBlock -> native RepMixerBlock(norm='affine') tree.
+
+    Token mix: train form is x + ls * (mixer(x) - norm(x)) (both MobileOne
+    dw3x3); deploy form is a single reparam_conv with the identity folded
+    in. The native host computes x + dw(x)*scale."""
+    tm = f"{p}.token_mixer"
+    if f"{tm}.reparam_conv.weight" in sd:
+        w = np.asarray(sd[f"{tm}.reparam_conv.weight"], np.float64)
+        b = np.asarray(sd[f"{tm}.reparam_conv.bias"], np.float64)
+        # reparam kernel includes the +x identity; the host adds x itself
+        w = w - _identity_kernel(w.shape[0], w.shape[1], w.shape[-1])
+        scale = np.ones(w.shape[0])
+    else:
+        wm, bm = _fuse_mobileone(sd, f"{tm}.mixer", 3)
+        wn, bn_ = _fuse_mobileone(sd, f"{tm}.norm", 3)
+        w, b = wm - wn, bm - bn_
+        ls_keys = [f"{tm}.layer_scale.gamma", f"{tm}.layer_scale",
+                   f"{p}.layer_scale.gamma", f"{p}.layer_scale"]
+        scale = None
+        for lk in ls_keys:
+            if lk in sd:
+                scale = np.asarray(sd[lk]).reshape(-1)
+                break
+        if scale is None:
+            scale = np.ones(w.shape[0])
+    gamma = None
+    for lk in (f"{p}.convffn.layer_scale.gamma", f"{p}.convffn.layer_scale",
+               f"{p}.layer_scale_2.gamma", f"{p}.layer_scale_2"):
+        if lk in sd:
+            gamma = np.asarray(sd[lk]).reshape(-1)
+            break
+    ffn_prefix = (
+        f"{p}.convffn" if f"{p}.convffn.conv.conv.weight" in sd else f"{p}.mlp"
+    )
+    return {
+        "mixer_dw": {"kernel": _tconv(w), "bias": np.asarray(b, np.float32)},
+        "mixer_scale": np.asarray(scale, np.float32),
+        "ffn": _mc_convffn(sd, ffn_prefix, gamma),
+    }
+
+
+def _mc_attn_block(sd: Mapping, p: str) -> dict:
+    """Apple FastViT attention block (BN norm + MHSA + ConvFFN, per-branch
+    layer scales) -> native _AttnBlock tree (scales fold into out_proj/fc2)."""
+    if f"{p}.norm.weight" not in sd:
+        raise NotImplementedError(
+            f"attention block '{p}': expected BN norm at '{p}.norm.*' "
+            f"(keys seen: {sorted(q for q in sd if q.startswith(p + '.'))[:8]})"
+        )
+    attn = {
+        "in_proj": _dense_1x1(
+            sd[f"{p}.token_mixer.qkv.weight"], sd.get(f"{p}.token_mixer.qkv.bias")
+        ),
+        "out_proj": _dense_1x1(
+            sd[f"{p}.token_mixer.proj.weight"], sd.get(f"{p}.token_mixer.proj.bias")
+        ),
+    }
+    if "bias" not in attn["in_proj"]:
+        attn["in_proj"]["bias"] = np.zeros(attn["in_proj"]["kernel"].shape[1], np.float32)
+    if "bias" not in attn["out_proj"]:
+        attn["out_proj"]["bias"] = np.zeros(attn["out_proj"]["kernel"].shape[1], np.float32)
+    g1 = g2 = None
+    for lk in (f"{p}.layer_scale_1.gamma", f"{p}.layer_scale_1"):
+        if lk in sd:
+            g1 = np.asarray(sd[lk]).reshape(-1)
+    for lk in (f"{p}.layer_scale_2.gamma", f"{p}.layer_scale_2"):
+        if lk in sd:
+            g2 = np.asarray(sd[lk]).reshape(-1)
+    if g1 is not None:
+        attn["out_proj"] = _scale_dense_out(attn["out_proj"], g1)
+    return {
+        "norm": _affine(*_bn_stats(sd, f"{p}.norm")),
+        "attn": attn,
+        "ffn": _mc_convffn(sd, f"{p}.convffn", g2),
+    }
+
+
+def _mc_vision_fastvit(sd: Mapping, pre: str = "image_encoder.model.") -> dict:
+    """MobileCLIP-S1/S2 MCi (FastViT) trunk -> FastViT(norm='affine',
+    stem='3conv') params, with every reparam branch fused."""
+    import re as _re
+
+    vis: dict = {}
+    # stem: 3 MobileOne blocks (conv3x3/s2, dw3x3/s2, pw1x1)
+    for i in range(3):
+        p = f"{pre}patch_embed.{i}"
+        if not any(k.startswith(p + ".") for k in sd):
+            raise NotImplementedError(
+                f"FastViT stem block '{p}' not found (expected the 3-block "
+                "MobileOne stem the Apple checkpoints carry)"
+            )
+        ref_w = sd.get(f"{p}.rbr_conv.0.conv.weight",
+                       sd.get(f"{p}.reparam_conv.weight"))
+        w, b = _fuse_mobileone(sd, p, np.asarray(ref_w).shape[-1])
+        vis[f"stem_conv{i + 1}"] = {
+            "kernel": _tconv(w), "bias": np.asarray(b, np.float32)
+        }
+
+    # trunk: classify network.{k} entries structurally
+    tops = sorted({
+        int(m.group(1))
+        for q in sd
+        if (m := _re.match(_re.escape(pre) + r"network\.(\d+)\.", q))
+    })
+    if not tops:
+        raise NotImplementedError(
+            f"FastViT trunk keys '{pre}network.*' not found "
+            f"(keys seen: {sorted(q for q in sd if q.startswith(pre))[:8]})"
+        )
+    stages: list = []
+    down_i = 0
+    for t in tops:
+        np_ = f"{pre}network.{t}"
+        sub = [q[len(np_) + 1:] for q in sd if q.startswith(np_ + ".")]
+        if any(s.split(".")[0] == "proj" for s in sub):
+            # PatchEmbed downsample: proj.0 ReparamLargeKernelConv (dw) +
+            # proj.1 MobileOneBlock (pw 1x1)
+            down_i += 1
+            wd, bd = _fuse_large_kernel(sd, f"{np_}.proj.0")
+            wp, bp = _fuse_mobileone(sd, f"{np_}.proj.1", 1)
+            vis[f"downsample{down_i}"] = {
+                "conv_dw": {"kernel": _tconv(wd), "bias": np.asarray(bd, np.float32)},
+                "norm": _affine(np.ones(wd.shape[0]), np.zeros(wd.shape[0])),
+                "conv_pw": _dense_1x1(wp, bp),
+            }
+        elif any(_re.match(r"\d+\.", s) for s in sub):
+            idxs = sorted({int(s.split(".")[0]) for s in sub if s.split(".")[0].isdigit()})
+            stages.append((np_, idxs))
+        else:
+            # RepCPE (conditional position encoding) before the attn stage
+            if f"{np_}.reparam_conv.weight" in sd:
+                w = np.asarray(sd[f"{np_}.reparam_conv.weight"], np.float64)
+                b = np.asarray(sd[f"{np_}.reparam_conv.bias"], np.float64)
+                w = w - _identity_kernel(w.shape[0], w.shape[1], w.shape[-1])
+            elif f"{np_}.pe.weight" in sd:
+                w = np.asarray(sd[f"{np_}.pe.weight"], np.float64)
+                b = np.asarray(sd[f"{np_}.pe.bias"], np.float64)
+            else:
+                raise NotImplementedError(
+                    f"unrecognized trunk entry '{np_}' "
+                    f"(sub-keys: {sorted(sub)[:8]})"
+                )
+            vis["pos_emb_dw"] = {
+                "kernel": _tconv(w), "bias": np.asarray(b, np.float32)
+            }
+
+    if len(stages) != 4:
+        raise NotImplementedError(
+            f"expected 4 FastViT stages, found {len(stages)} "
+            f"(trunk entries: {tops})"
+        )
+    for s, (sp, idxs) in enumerate(stages[:3]):
+        for i in idxs:
+            vis[f"stage{s}_block{i}"] = _mc_repmixer_block(sd, f"{sp}.{i}")
+    ap, aidxs = stages[3]
+    for i in aidxs:
+        bp = f"{ap}.{i}"
+        if f"{bp}.token_mixer.qkv.weight" in sd:
+            vis[f"stage3_block{i}"] = _mc_attn_block(sd, bp)
+        else:
+            raise NotImplementedError(
+                f"stage-3 block '{bp}' is not an attention block "
+                f"(keys: {sorted(q for q in sd if q.startswith(bp + '.'))[:8]})"
+            )
+
+    # head: conv_exp (MobileOneBlock 3x3 grouped expand) -> GAP -> linear
+    if any(k.startswith(f"{pre}conv_exp.") for k in sd):
+        w, b = _fuse_mobileone(sd, f"{pre}conv_exp", 3)
+        vis["head_conv"] = {"kernel": _tconv(w), "bias": np.asarray(b, np.float32)}
+    for cand in ("head.fc", "head", "classifier.proj", "classifier"):
+        wk = f"{pre}{cand}.weight"
+        if wk in sd and np.asarray(sd[wk]).ndim == 2:
+            vis["proj"] = np.asarray(sd[wk]).T
+            bk = f"{pre}{cand}.bias"
+            vis["proj_bias"] = (
+                np.asarray(sd[bk]) if bk in sd
+                else np.zeros(vis["proj"].shape[1], np.float32)
+            )
+            break
+    if "head_conv" in vis:
+        d = vis["head_conv"]["kernel"].shape[-1]
+        vis["head_norm"] = _affine(np.ones(d), np.zeros(d))
+    return vis
+
+
+def is_mobileclip_state_dict(sd: Mapping) -> bool:
+    keys = sd.keys()
+    return (
+        "image_encoder.model.patch_embed.0.rbr_conv.0.conv.weight" in keys
+        or "image_encoder.model.patch_emb.0.block.conv.weight" in keys
+    )
+
+
+def convert_mobile_clip_state_dict(sd: Mapping, **kwargs) -> dict:
+    """Apple MobileCLIP checkpoint -> native Flax params (reference
+    `convert.py:152-191`): branch-fused deploy-form vision tower
+    (`timm_deploy_import` mode) + 1:1 text tower + logit_scale."""
+    from .checkpoint import import_torch_state_dict
+
+    text_sd = _mc_text_to_openclip(sd)
+    if "logit_scale" in sd:
+        text_sd["logit_scale"] = np.asarray(sd["logit_scale"])
+    params = import_torch_state_dict(
+        text_sd,
+        scan_layers=False,
+        context_length=kwargs.get("context_length"),
+    )
+    if "image_encoder.model.patch_emb.0.block.conv.weight" in sd:
+        params["visual"] = _mc_vision_b(sd)
+    else:
+        params["visual"] = _mc_vision_fastvit(sd)
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, params)
+
+
 def convert_state_dict(sd: Mapping, **kwargs) -> dict:
     """Dispatch by checkpoint flavor (reference convert.py:193-200)."""
     keys = list(sd.keys())
     if any(k.startswith(("img/", "params/img/")) for k in keys):
         return big_vision_npz_to_params(sd, **kwargs)
-    if any("image_encoder.model" in k or "mobileclip" in k.lower() for k in keys):
-        # Checked per-variant (VERDICT r2 item 7; reference convert.py:193-200):
-        # none of the MobileCLIP image towers is a plain ViT, so the native
-        # patchify tower cannot host them.
-        if "image_encoder.model.patch_embed.0.rbr_conv.0.conv.weight" in keys:
-            raise NotImplementedError(
-                "MobileCLIP-S1/S2 checkpoints ship TRAIN-TIME FastViT "
-                "weights (parallel rbr_conv reparam branches + BN running "
-                "stats; reference convert.py:155-157 folds them via timm's "
-                "checkpoint_filter_fn). The native tower "
-                "(models/fastvit.py FastViT, config MobileCLIP-S1/S2) is "
-                "the fused deploy form with LN — loading these weights "
-                "needs the branch-fusion remap validated against a timm "
-                "oracle, which this environment cannot run. The model "
-                "itself builds and trains natively."
-            )
-        if "image_encoder.model.patch_emb.0.block.conv.weight" in keys:
-            raise NotImplementedError(
-                "MobileCLIP-B checkpoints carry a corenet conv+BN hybrid "
-                "stem (reference convert.py:158-159 maps it via timm "
-                "vision_transformer_hybrid). The native tower "
-                "(models/fastvit.py HybridViT, config MobileCLIP-B) uses "
-                "an LN conv stem — loading needs the BN-folding stem remap "
-                "validated against a timm oracle. The model itself builds "
-                "and trains natively; the transformer blocks and text "
-                "tower would map 1:1."
-            )
+    if any("image_encoder.model" in k for k in keys):
+        if is_mobileclip_state_dict(sd):
+            return convert_mobile_clip_state_dict(sd, **kwargs)
         raise NotImplementedError(
             "Unrecognized MobileCLIP checkpoint layout (reference "
-            "convert.py:193-200 handles S1/S2 and B only)."
+            "convert.py:193-200 handles S1/S2 and B only). Build the model "
+            "natively and train/fine-tune, or extend "
+            "convert_mobile_clip_state_dict for this sublayout."
         )
     if "patch_embed.proj.weight" in keys:  # bare timm ViT (vision-only)
         kwargs.pop("context_length", None)

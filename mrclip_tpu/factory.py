@@ -197,6 +197,21 @@ def create_model(
         cfg["vision_cfg"].pop("patch_size", None)
     cfg.update(model_kwargs)
 
+    if (
+        pretrained
+        and os.path.isfile(pretrained)
+        and str(cfg["vision_cfg"].get("timm_model_name", "")).startswith(
+            ("fastvit_", "vit_base_mci")
+        )
+    ):
+        # Apple-layout MobileCLIP checkpoints are conv+BN deploy weights:
+        # build the tower in deploy-import mode (folded-BN affine norms,
+        # MobileOne stem/head structure) so the converted params are exact.
+        from .checkpoint import peek_is_mobileclip
+
+        if peek_is_mobileclip(pretrained):
+            cfg["vision_cfg"]["timm_deploy_import"] = True
+
     if scan_layers is None:
         # Unrolled layers measure ~35% faster than lax.scan on v5e for
         # ViT-B (and +18% for ViT-L-14: 228 vs 193 pairs/s, r3 sweep) —

@@ -106,6 +106,12 @@ class CLIPVisionCfg:
     timm_proj_bias: bool = False
     timm_drop: float = 0.0
     timm_drop_path: Optional[float] = None
+    # Deploy-import mode for the native MobileCLIP towers: conv-side norms
+    # become folded-BN affines (and the FastViT stem takes the 3-conv
+    # MobileOne layout) so released Apple conv+BN checkpoints convert
+    # exactly. Set automatically by the factory when `pretrained` points at
+    # an Apple-layout MobileCLIP state dict (convert.py).
+    timm_deploy_import: bool = False
 
 
 @dataclass
@@ -365,6 +371,7 @@ def _build_timm_vit_tower(
         # Native deploy-form build — see models/fastvit.py PROVENANCE.
         from .fastvit import FASTVIT_DIMS, FastViT, HybridViT
 
+        deploy = getattr(vision_cfg, "timm_deploy_import", False)
         if tname == "vit_base_mci_224":
             return HybridViT(
                 image_size=vision_cfg.image_size or 224,
@@ -374,6 +381,7 @@ def _build_timm_vit_tower(
                 scan_layers=scan_layers,
                 remat=remat,
                 remat_policy=remat_policy,
+                norm="affine" if deploy else "ln",
                 dtype=dtype,
                 name=name,
             )
@@ -394,6 +402,8 @@ def _build_timm_vit_tower(
             scan_layers=scan_layers,
             remat=remat,
             remat_policy=remat_policy,
+            norm="affine" if deploy else "ln",
+            stem="3conv" if deploy else "2conv",
             dtype=dtype,
             name=name,
         )

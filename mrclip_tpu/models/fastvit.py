@@ -59,6 +59,30 @@ FASTVIT_DIMS = {
 }
 
 
+class ChannelAffine(nn.Module):
+    """Per-channel y = x*scale + bias — a folded inference-mode BatchNorm.
+
+    Released MobileCLIP/FastViT weights carry conv+BN pairs; at inference
+    BN(x) = x*(gamma/sigma) + (beta - mu*gamma/sigma) is exactly this
+    affine. The param tree (scale, bias) matches `LayerNorm`, so converted
+    checkpoints overlay onto the same tree positions; only the *behavior*
+    switches (no per-sample normalization). Used by the `norm='affine'`
+    deploy-import mode of the towers below."""
+
+    epsilon: float = 1e-6  # unused; field kept so call sites can be uniform
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _norm(kind: str):
+    return {"ln": LayerNorm, "affine": ChannelAffine}[kind]
+
+
 class _ConvFFN(nn.Module):
     """dw7x7 -> LN -> 1x1 expand -> GELU -> 1x1 project, residual added by
     the caller."""
@@ -66,13 +90,14 @@ class _ConvFFN(nn.Module):
     dim: int
     mlp_ratio: float = 3.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
+    norm: str = "ln"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
                     dtype=self.dtype, name="conv_dw")(x)
-        x = LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = _norm(self.norm)(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(x)
         x = self.act(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
@@ -84,6 +109,7 @@ class RepMixerBlock(nn.Module):
     dim: int
     mlp_ratio: float = 3.0
     act: Callable[[jax.Array], jax.Array] = gelu_exact
+    norm: str = "ln"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -93,8 +119,39 @@ class RepMixerBlock(nn.Module):
         scale = self.param("mixer_scale", nn.initializers.ones,
                            (self.dim,), jnp.float32)
         x = x + mix * scale.astype(x.dtype)
-        return x + _ConvFFN(self.dim, self.mlp_ratio, self.act, self.dtype,
-                            name="ffn")(x)
+        return x + _ConvFFN(self.dim, self.mlp_ratio, self.act, self.norm,
+                            self.dtype, name="ffn")(x)
+
+
+class _AttnBlock(nn.Module):
+    """Deploy-import form of the FastViT attention-stage block: folded-BN
+    affine norm -> MHSA -> residual, then ConvFFN -> residual. Per-branch
+    layer scales from released checkpoints fold into out_proj / fc2 at
+    conversion time (exact: a per-output-channel scale commutes with the
+    preceding linear). The from-scratch ('ln') towers use the shared
+    `Transformer` stage instead; this block exists so Apple conv+BN
+    weights convert structurally 1:1 (their ffn keeps its dw7x7)."""
+
+    dim: int
+    heads: int
+    mlp_ratio: float = 3.0
+    act: Callable[[jax.Array], jax.Array] = gelu_exact
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from .layers import MultiHeadAttention
+
+        b, h, w, c = x.shape
+        t = ChannelAffine(name="norm")(x).reshape(b, h * w, c)
+        t = MultiHeadAttention(
+            num_heads=self.heads, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="attn",
+        )(t)
+        x = x + t.reshape(b, h, w, c)
+        return x + _ConvFFN(self.dim, self.mlp_ratio, self.act, "affine",
+                            self.dtype, name="ffn")(x)
 
 
 class _PatchDownsample(nn.Module):
@@ -102,6 +159,7 @@ class _PatchDownsample(nn.Module):
 
     in_dim: int
     out_dim: int
+    norm: str = "ln"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -109,7 +167,7 @@ class _PatchDownsample(nn.Module):
         x = nn.Conv(self.in_dim, (7, 7), strides=(2, 2), padding=3,
                     feature_group_count=self.in_dim, dtype=self.dtype,
                     name="conv_dw")(x)
-        x = LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = _norm(self.norm)(epsilon=1e-6, name="norm")(x)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="conv_pw")(x)
 
 
@@ -128,6 +186,15 @@ class FastViT(nn.Module):
     scan_layers: bool = True  # applies to the attention stage
     remat: bool = False
     remat_policy: str = "dots"
+    # 'ln' (default, from-scratch TPU training) or 'affine' (deploy-import
+    # mode: every conv-side norm position becomes a folded-BN per-channel
+    # affine so released conv+BN weights convert exactly; see ChannelAffine
+    # and convert.convert_mobile_clip_state_dict). The attention stage's
+    # Transformer keeps LayerNorm in both modes.
+    norm: str = "ln"
+    # '2conv' (default) or '3conv' (deploy-import: conv3x3/s2, dw3x3/s2,
+    # pw1x1 — the MobileOne stem layout released checkpoints fuse into).
+    stem: str = "2conv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -137,54 +204,88 @@ class FastViT(nn.Module):
         c = self.dims
 
         # stem to 1/4
-        x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
-                    name="stem_conv1")(x)
-        x = self.act(x)
-        x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1,
-                    feature_group_count=1, dtype=self.dtype, name="stem_conv2")(x)
-        x = self.act(x)
+        if self.stem == "3conv":
+            x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1,
+                        dtype=self.dtype, name="stem_conv1")(x)
+            x = self.act(x)
+            x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1,
+                        feature_group_count=c[0], dtype=self.dtype,
+                        name="stem_conv2")(x)
+            x = self.act(x)
+            x = nn.Conv(c[0], (1, 1), dtype=self.dtype, name="stem_conv3")(x)
+            x = self.act(x)
+        else:
+            x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1,
+                        dtype=self.dtype, name="stem_conv1")(x)
+            x = self.act(x)
+            x = nn.Conv(c[0], (3, 3), strides=(2, 2), padding=1,
+                        feature_group_count=1, dtype=self.dtype,
+                        name="stem_conv2")(x)
+            x = self.act(x)
 
         block = RepMixerBlock
         if self.remat:
             block = nn.remat(block, prevent_cse=False, static_argnums=(2,))
         for s in range(3):
             if s > 0:
-                x = _PatchDownsample(c[s - 1], c[s], dtype=self.dtype,
+                x = _PatchDownsample(c[s - 1], c[s], self.norm,
+                                     dtype=self.dtype,
                                      name=f"downsample{s}")(x)
             for i in range(self.depths[s]):
-                x = block(c[s], self.mlp_ratio, self.act, self.dtype,
-                          name=f"stage{s}_block{i}")(x, deterministic)
+                x = block(c[s], self.mlp_ratio, self.act, self.norm,
+                          self.dtype, name=f"stage{s}_block{i}")(x, deterministic)
 
         # attention stage at 1/32
-        x = _PatchDownsample(c[2], c[3], dtype=self.dtype, name="downsample3")(x)
+        x = _PatchDownsample(c[2], c[3], self.norm, dtype=self.dtype,
+                             name="downsample3")(x)
         cpe = nn.Conv(c[3], (7, 7), padding=3, feature_group_count=c[3],
                       dtype=self.dtype, name="pos_emb_dw")(x)
         x = x + cpe  # RepCPE: convolutional (translation-equivariant) positions
         b, h, w, _ = x.shape
-        t = x.reshape(b, h * w, c[3])
-        t = Transformer(
-            width=c[3],
-            layers=self.depths[3],
-            heads=max(1, c[3] // 64),
-            mlp_ratio=self.mlp_ratio,
-            act=self.act,
-            attn_impl=self.attn_impl,
-            ln_eps=1e-6,
-            scan_layers=self.scan_layers,
-            remat=self.remat,
-            remat_policy=self.remat_policy,
-            dtype=self.dtype,
-            name="transformer",
-        )(t, deterministic=deterministic)
-        x = t.reshape(b, h, w, c[3])
+        if self.norm == "affine":
+            # deploy-import form: BN-affine + MHSA + ConvFFN blocks, the
+            # structure released FastViT checkpoints actually carry (their
+            # ffn keeps a dw7x7; the shared LN Transformer cannot host it).
+            ablock = _AttnBlock
+            if self.remat:
+                ablock = nn.remat(ablock, prevent_cse=False, static_argnums=(2,))
+            for i in range(self.depths[3]):
+                x = ablock(c[3], max(1, c[3] // 64), self.mlp_ratio, self.act,
+                           self.attn_impl, self.dtype,
+                           name=f"stage3_block{i}")(x, deterministic)
+        else:
+            t = x.reshape(b, h * w, c[3])
+            t = Transformer(
+                width=c[3],
+                layers=self.depths[3],
+                heads=max(1, c[3] // 64),
+                mlp_ratio=self.mlp_ratio,
+                act=self.act,
+                attn_impl=self.attn_impl,
+                ln_eps=1e-6,
+                scan_layers=self.scan_layers,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
+                dtype=self.dtype,
+                name="transformer",
+            )(t, deterministic=deterministic)
+            x = t.reshape(b, h, w, c[3])
 
-        # head: 1x1 expand -> GELU -> GAP -> proj
-        x = nn.Dense(int(c[3] * self.head_expand), dtype=self.dtype,
-                     name="head_conv")(x)
+        # head: expand -> GELU -> GAP -> proj. From-scratch mode expands via
+        # a 1x1 Dense; deploy-import mode ('affine') uses the released
+        # checkpoints' 3x3 grouped conv_exp (a fused MobileOneBlock) and a
+        # biased projection so weights convert exactly.
+        if self.norm == "affine":
+            x = nn.Conv(int(c[3] * self.head_expand), (3, 3), padding=1,
+                        feature_group_count=c[3], dtype=self.dtype,
+                        name="head_conv")(x)
+        else:
+            x = nn.Dense(int(c[3] * self.head_expand), dtype=self.dtype,
+                         name="head_conv")(x)
         x = self.act(x)
         tokens = x.reshape(b, h * w, -1)
         pooled = tokens.mean(axis=1)
-        pooled = LayerNorm(epsilon=1e-6, name="head_norm")(pooled)
+        pooled = _norm(self.norm)(epsilon=1e-6, name="head_norm")(pooled)
         if self.output_dim is not None:
             proj = self.param(
                 "proj",
@@ -193,6 +294,10 @@ class FastViT(nn.Module):
                 jnp.float32,
             )
             pooled = pooled @ proj.astype(pooled.dtype)
+            if self.norm == "affine":
+                pb = self.param("proj_bias", nn.initializers.zeros,
+                                (self.output_dim,), jnp.float32)
+                pooled = pooled + pb.astype(pooled.dtype)
         if self.output_tokens:
             return pooled, tokens
         return pooled
@@ -216,6 +321,10 @@ class HybridViT(nn.Module):
     scan_layers: bool = True
     remat: bool = False
     remat_policy: str = "dots"
+    # 'ln' (default) or 'affine' (deploy-import mode: the conv-stem norms
+    # host folded inference-mode BN; the ViT blocks are genuinely LN-based
+    # in the released model, so the import is exact for this tower).
+    norm: str = "ln"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -225,7 +334,7 @@ class HybridViT(nn.Module):
         for i, dim in enumerate(self.stem_dims):
             x = nn.Conv(dim, (3, 3), strides=(2, 2), padding=1,
                         dtype=self.dtype, name=f"patch_emb_conv{i}")(x)
-            x = LayerNorm(epsilon=1e-6, name=f"patch_emb_norm{i}")(x)
+            x = _norm(self.norm)(epsilon=1e-6, name=f"patch_emb_norm{i}")(x)
             if i + 1 < len(self.stem_dims):
                 x = self.act(x)
         b, h, w, _ = x.shape
@@ -266,6 +375,11 @@ class HybridViT(nn.Module):
                 jnp.float32,
             )
             pooled = pooled @ proj.astype(pooled.dtype)
+            if self.norm == "affine":
+                # released checkpoints project with a biased Linear
+                pb = self.param("proj_bias", nn.initializers.zeros,
+                                (self.output_dim,), jnp.float32)
+                pooled = pooled + pb.astype(pooled.dtype)
         if self.output_tokens:
             return pooled, tokens
         return pooled
