@@ -544,7 +544,18 @@ def main():
         ("RN50", True): 57.043,        # b128 (relu tower: flag-invariant)
         ("RN50", False): 57.043,
         ("EVA02-B-16", True): 123.681,  # b64
-        ("coca_ViT-B-32", True): 99.693,  # b128
+        ("coca_ViT-B-32", True): 99.702,  # b96
+        # r5 (tools/r5_flops.log): every benched family carries an exact
+        # CPU-lowered basis at its measured operating batch. Big towers are
+        # counted WITHOUT remat (MFU = model FLOPs, not executed/HFU).
+        ("ViT-L-14", True): 538.873,   # b16
+        ("EVA02-L-14", True): 528.089,  # b16
+        ("ViT-SO400M-14-SigLIP", True): 823.158,  # b16
+        ("convnext_base_w", True): 156.614,  # b64
+        ("MobileCLIP-S1", True): 46.964,  # b256
+        ("MobileCLIP-B", True): 132.425,  # b64
+        ("ViTamin-L", True): 489.083,  # b16 (param-anchored r5 stage table)
+        ("ViT-H-14", True): 1187.654,  # b16
     }
     basis = _GFLOPS_BASIS.get((model_name, bool(args.gelu_approx)))
     if on_tpu and basis and not args.infer:
