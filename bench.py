@@ -556,6 +556,7 @@ def main():
         ("MobileCLIP-B", True): 132.425,  # b64
         ("ViTamin-L", True): 489.083,  # b16 (param-anchored r5 stage table)
         ("ViT-H-14", True): 1187.654,  # b16
+        ("EVA01-g-14", True): 1647.650,  # b8
     }
     basis = _GFLOPS_BASIS.get((model_name, bool(args.gelu_approx)))
     if on_tpu and basis and not args.infer:

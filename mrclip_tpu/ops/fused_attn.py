@@ -277,6 +277,23 @@ def _head_mode() -> bool:
     return os.environ.get(_HEAD_MODE_VAR, "batched") == "batched"
 
 
+# Where the bwd kernel's delta = rowsum(do * o) term comes from:
+#   'pre'    (default) — computed OUTSIDE the kernel by XLA, fused into the
+#            out_proj-bwd fusion that produces `do` (o is read there once,
+#            while do is still live in VMEM). The kernel drops the o
+#            operand (-1/8 of its HBM operand bytes) and the serialized
+#            VPU reduction — the r5 trace shows the packed bwd kernel at
+#            21% MXU / 41% BW, i.e. limited by the serial MXU+VPU chain,
+#            not either roofline.
+#   'kernel' — r4 behavior: o is a kernel operand and delta is computed
+#            in-kernel (fallback; numerics identical, CPU parity test).
+_DELTA_MODE_VAR = "MRCLIP_FUSEDP_DELTA"
+
+
+def _delta_outside() -> bool:
+    return os.environ.get(_DELTA_MODE_VAR, "pre") == "pre"
+
+
 def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
     """Natural-layout variant: blocks are [1, N, H*D] slabs (no HBM-side
     transpose or pad — Mosaic masks the unaligned sequence edge). Heads are
@@ -359,14 +376,28 @@ def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
         ).astype(qh.dtype)
 
 
-def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
+def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False,
+                       delta_pre=False):
+    # `delta_pre`: the o operand slot instead carries the precomputed
+    # [1, H, N] fp32 delta = rowsum(do * o) (see _DELTA_MODE_VAR), and the
+    # o3 scratch is absent.
     if batched:
         if rope:
-            (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
-             dq_ref, dk_ref, dv_ref, q3, k3, v3, o3, do3) = refs
+            if delta_pre:
+                (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
+                 dq_ref, dk_ref, dv_ref, q3, k3, v3, do3) = refs
+                o3 = None
+            else:
+                (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
+                 dq_ref, dk_ref, dv_ref, q3, k3, v3, o3, do3) = refs
         else:
-            (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-             dq_ref, dk_ref, dv_ref, q3, k3, v3, o3, do3), r_ref = refs, None
+            if delta_pre:
+                (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                 dq_ref, dk_ref, dv_ref, q3, k3, v3, do3), r_ref = refs, None
+                o3 = None
+            else:
+                (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                 dq_ref, dk_ref, dv_ref, q3, k3, v3, o3, do3), r_ref = refs, None
     elif rope:
         (q_ref, k_ref, v_ref, r_ref, o_ref, do_ref, lse_ref,
          dq_ref, dk_ref, dv_ref) = refs
@@ -395,10 +426,11 @@ def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
             q3[h] = qh
             k3[h] = kh
             v3[h] = v_ref[0, :, sl]
-            o3[h] = o_ref[0, :, sl]
+            if o3 is not None:
+                o3[h] = o_ref[0, :, sl]
             do3[h] = do_ref[0, :, sl]
         q, k, v = q3[:], k3[:], v3[:]
-        o, do = o3[:], do3[:]
+        do = do3[:]
         lse = lse_ref[0]  # [H, N]
         dt = q.dtype
         s = jax.lax.dot_general(
@@ -414,7 +446,11 @@ def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
         dp = jax.lax.dot_general(
             do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # [H, N, Nk]
-        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+        if delta_pre:
+            delta = o_ref[0]  # [H, N] fp32, precomputed rowsum(do * o)
+        else:
+            o = o3[:]
+            delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
         ds = (p * (dp - delta[..., None]) * scale).astype(dt)
         dq = jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -442,7 +478,7 @@ def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
             # way out — rotated tensors and their grads never touch HBM.
             qh = _rope_rotate(qh, sin, cos, rmat)
             kh = _rope_rotate(kh, sin, cos, rmat)
-        oh, doh = o_ref[0, :, sl], do_ref[0, :, sl]
+        doh = do_ref[0, :, sl]
         lse = lse_ref[0, h, :]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -457,7 +493,11 @@ def _packed_bwd_kernel(*refs, heads, scale, causal, rope, batched=False):
         dp = jax.lax.dot_general(
             doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        delta = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
+        if delta_pre:
+            delta = o_ref[0, h, :]
+        else:
+            oh = o_ref[0, :, sl]
+            delta = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
         ds = (p * (dp - delta[:, None]) * scale).astype(qh.dtype)
         dq = jax.lax.dot_general(
             ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -527,7 +567,11 @@ def _pfwd_impl(q, k, v, head_dim, causal, interpret, tab=None):
     )(*args)
 
 
-def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab=None):
+def _pbwd_impl(q, k, v, aux, do, lse, head_dim, causal, interpret, tab=None,
+               delta_pre=False):
+    """`aux` is either the forward output o [B, N, H*D] (delta computed
+    in-kernel, delta_pre=False) or the precomputed fp32 delta [B, H, N]
+    (delta_pre=True; see _DELTA_MODE_VAR)."""
     b, n, hd = q.shape
     nk = k.shape[1]
     heads = hd // head_dim
@@ -535,23 +579,26 @@ def _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab=None):
     kern = functools.partial(
         _packed_bwd_kernel, heads=heads, scale=1.0 / math.sqrt(head_dim),
         causal=causal, rope=tab is not None, batched=batched,
+        delta_pre=delta_pre,
     )
     in_specs = [_pspec(n, hd), _pspec(nk, hd), _pspec(nk, hd)]
     args = (q, k, v)
     if tab is not None:
         in_specs.append(_rspec(n, tab.shape[1]))
         args += (tab,)
-    in_specs += [_pspec(n, hd), _pspec(n, hd), _pspec(heads, n)]
-    args += (o, do, lse)
+    aux_spec = _pspec(heads, n) if delta_pre else _pspec(n, hd)
+    in_specs += [aux_spec, _pspec(n, hd), _pspec(heads, n)]
+    args += (aux, do, lse)
     scratch = []
     if batched:
         scratch = [
             pltpu.VMEM((heads, n, head_dim), q.dtype),
             pltpu.VMEM((heads, nk, head_dim), q.dtype),
             pltpu.VMEM((heads, nk, head_dim), q.dtype),
-            pltpu.VMEM((heads, n, head_dim), q.dtype),
-            pltpu.VMEM((heads, n, head_dim), q.dtype),
         ]
+        if not delta_pre:
+            scratch.append(pltpu.VMEM((heads, n, head_dim), q.dtype))
+        scratch.append(pltpu.VMEM((heads, n, head_dim), q.dtype))
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -616,30 +663,33 @@ def _pfwd_gspmd(head_dim, causal, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _pbwd_gspmd(head_dim, causal, interpret):
+def _pbwd_gspmd(head_dim, causal, interpret, pre):
     fn = custom_partitioning(
-        lambda q, k, v, o, do, lse: _pbwd_impl(
-            q, k, v, o, do, lse, head_dim, causal, interpret
+        lambda q, k, v, aux, do, lse: _pbwd_impl(
+            q, k, v, aux, do, lse, head_dim, causal, interpret, delta_pre=pre
         )
     )
 
     def partition(mesh, arg_shapes, result_shape):
         qkv_sh, lse_sh = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+        aux_sh = lse_sh if pre else qkv_sh
 
-        def lower(q, k, v, o, do, lse):
-            return _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret)
+        def lower(q, k, v, aux, do, lse):
+            return _pbwd_impl(q, k, v, aux, do, lse, head_dim, causal,
+                              interpret, delta_pre=pre)
 
-        return mesh, lower, (qkv_sh,) * 3, (qkv_sh,) * 5 + (lse_sh,)
+        return mesh, lower, (qkv_sh,) * 3, (qkv_sh,) * 3 + (aux_sh, qkv_sh, lse_sh)
 
     def infer(mesh, arg_shapes, result_shape):
         qkv_sh, _ = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
         return (qkv_sh,) * 3
 
+    aux_rule = "b h n" if pre else "b n (h d)"
     fn.def_partition(
         partition,
         infer_sharding_from_operands=infer,
         sharding_rule=(
-            "b n (h d), b m (h d), b m (h d), b n (h d), b n (h d), b h n"
+            f"b n (h d), b m (h d), b m (h d), {aux_rule}, b n (h d), b h n"
             " -> b n (h d), b m (h d), b m (h d)"
         ),
         need_replication_factors=("n", "d", "m"),
@@ -657,13 +707,26 @@ def _pcore_fwd(q, k, v, heads, causal, interpret):
     return o, (q, k, v, o, lse)
 
 
+def _delta_rowsum(do, o, heads):
+    """[B, H, N] fp32 delta = per-head rowsum(do * o). Lives in the same
+    XLA fusion neighborhood as the out_proj bwd that produces `do`."""
+    b, n, hd = o.shape
+    d = hd // heads
+    prod = (do.astype(jnp.float32) * o.astype(jnp.float32)).reshape(b, n, heads, d)
+    return prod.sum(-1).transpose(0, 2, 1)
+
+
 def _pcore_bwd(heads, causal, interpret, res, do):
     q, k, v, o, lse = res
     head_dim = q.shape[2] // heads
     do = do.astype(q.dtype)
+    aux = _delta_rowsum(do, o, heads) if _delta_outside() else o
     if jax.device_count() > 1:
-        return _pbwd_gspmd(head_dim, causal, interpret)(q, k, v, o, do, lse)
-    return _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret)
+        return _pbwd_gspmd(head_dim, causal, interpret, _delta_outside())(
+            q, k, v, aux, do, lse
+        )
+    return _pbwd_impl(q, k, v, aux, do, lse, head_dim, causal, interpret,
+                      delta_pre=_delta_outside())
 
 
 _pcore.defvjp(_pcore_fwd, _pcore_bwd)
@@ -710,33 +773,37 @@ def _pfwd_rope_gspmd(head_dim, causal, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _pbwd_rope_gspmd(head_dim, causal, interpret):
+def _pbwd_rope_gspmd(head_dim, causal, interpret, pre):
     fn = custom_partitioning(
-        lambda q, k, v, o, do, lse, tab: _pbwd_impl(
-            q, k, v, o, do, lse, head_dim, causal, interpret, tab
+        lambda q, k, v, aux, do, lse, tab: _pbwd_impl(
+            q, k, v, aux, do, lse, head_dim, causal, interpret, tab,
+            delta_pre=pre,
         )
     )
 
     def partition(mesh, arg_shapes, result_shape):
         qkv_sh, lse_sh = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
+        aux_sh = lse_sh if pre else qkv_sh
 
-        def lower(q, k, v, o, do, lse, tab):
-            return _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab)
+        def lower(q, k, v, aux, do, lse, tab):
+            return _pbwd_impl(q, k, v, aux, do, lse, head_dim, causal,
+                              interpret, tab, delta_pre=pre)
 
         return (
             mesh, lower, (qkv_sh,) * 3,
-            (qkv_sh,) * 5 + (lse_sh, _rope_sharding(mesh)),
+            (qkv_sh,) * 3 + (aux_sh, qkv_sh, lse_sh, _rope_sharding(mesh)),
         )
 
     def infer(mesh, arg_shapes, result_shape):
         qkv_sh, _ = _qkv_lse_shardings(mesh, arg_shapes[0].sharding)
         return (qkv_sh,) * 3
 
+    aux_rule = "b h n" if pre else "b n (h d)"
     fn.def_partition(
         partition,
         infer_sharding_from_operands=infer,
         sharding_rule=(
-            "b n (h d), b m (h d), b m (h d), b n (h d), b n (h d), b h n, n r"
+            f"b n (h d), b m (h d), b m (h d), {aux_rule}, b n (h d), b h n, n r"
             " -> b n (h d), b m (h d), b m (h d)"
         ),
         need_replication_factors=("n", "d", "m", "r"),
@@ -764,12 +831,14 @@ def _pcore_rope_bwd(heads, causal, interpret, res, do):
     q, k, v, tab, o, lse = res
     head_dim = q.shape[2] // heads
     do = do.astype(q.dtype)
+    aux = _delta_rowsum(do, o, heads) if _delta_outside() else o
     if jax.device_count() > 1:
-        dq, dk, dv = _pbwd_rope_gspmd(head_dim, causal, interpret)(
-            q, k, v, o, do, lse, tab
+        dq, dk, dv = _pbwd_rope_gspmd(head_dim, causal, interpret, _delta_outside())(
+            q, k, v, aux, do, lse, tab
         )
     else:
-        dq, dk, dv = _pbwd_impl(q, k, v, o, do, lse, head_dim, causal, interpret, tab)
+        dq, dk, dv = _pbwd_impl(q, k, v, aux, do, lse, head_dim, causal,
+                                interpret, tab, delta_pre=_delta_outside())
     return dq, dk, dv, jnp.zeros_like(tab)
 
 

@@ -325,3 +325,34 @@ def test_batched_head_mode_matches_loop(monkeypatch, rope_prefix):
     assert abs(float(got[0]) - float(want[0])) < 1e-3
     for a, b_ in zip(got[1], want[1]):
         assert float(jnp.abs(a - b_).max()) < 1e-4
+
+
+@pytest.mark.parametrize("head_mode", ["batched", "loop"])
+@pytest.mark.parametrize("rope_prefix", [0, 1])
+def test_delta_pre_mode_matches_in_kernel(monkeypatch, head_mode, rope_prefix):
+    """MRCLIP_FUSEDP_DELTA=pre (delta = rowsum(do*o) precomputed outside the
+    bwd kernel, which then drops its o operand — r5) == 'kernel' (r4
+    behavior: o is a kernel operand, delta reduced in-VMEM). Exact same
+    math, different producer; grads must match to fp tolerance in both
+    head modes, with and without rope-in-kernel."""
+    b, n, h, d = 2, 21, 4, 8
+    rng = np.random.RandomState(23)
+    q, k, v = (jnp.asarray(rng.randn(b, n, h, d), jnp.float32) for _ in range(3))
+    tab = (jnp.asarray(rng.uniform(-1, 1, (n - 1, 2 * d)), jnp.float32)
+           if rope_prefix else None)
+    w = jnp.asarray(rng.randn(d), jnp.float32)
+    monkeypatch.setenv("MRCLIP_FUSEDP_HEADS", head_mode)
+
+    def loss(q, k, v):
+        o = fused_attention_packed(
+            q, k, v, rope=tab, rope_prefix=rope_prefix or 1, interpret=True
+        )
+        return (o * w).sum()
+
+    monkeypatch.setenv("MRCLIP_FUSEDP_DELTA", "kernel")
+    want = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("MRCLIP_FUSEDP_DELTA", "pre")
+    got = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert abs(float(got[0]) - float(want[0])) < 1e-3
+    for a, b_ in zip(got[1], want[1]):
+        assert float(jnp.abs(a - b_).max()) < 1e-4

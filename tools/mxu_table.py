@@ -31,7 +31,12 @@ def categorize(name: str, ident: str) -> str:
     if "optax" in t or "opt_state" in t:
         return "optimizer"
     for pat, lab in (
-        (r"mlp/|c_fc|c_proj|mlp\.py", "mlp"),
+        # FastViT/MCi + ConvNeXt/ViTamin tower components (r5): depthwise
+        # convs are VPU work with their own (BW) roofline — split them out
+        # from the matmul-shaped 1x1/fc ops.
+        (r"mixer_dw|conv_dw|pos_emb_dw|dwconv|depthwise", "dwconv"),
+        (r"stem_conv|patch_emb|downsample|conv_pw|head_conv|stem", "convstem"),
+        (r"mlp/|c_fc|c_proj|mlp\.py|ffn/fc|/fc1|/fc2", "mlp"),
         (r"attn|in_proj|out_proj|dot_product|softmax|layers\.py|fused_attn|_fwd_kernel|_bwd_kernel", "attn"),
         (r"ln_|layer_norm|norm\.py", "layernorm"),
         (r"conv1", "patchify"),
