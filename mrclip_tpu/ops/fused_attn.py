@@ -278,20 +278,23 @@ def _head_mode() -> bool:
 
 
 # Where the bwd kernel's delta = rowsum(do * o) term comes from:
-#   'pre'    (default) — computed OUTSIDE the kernel by XLA, fused into the
-#            out_proj-bwd fusion that produces `do` (o is read there once,
-#            while do is still live in VMEM). The kernel drops the o
-#            operand (-1/8 of its HBM operand bytes) and the serialized
-#            VPU reduction — the r5 trace shows the packed bwd kernel at
-#            21% MXU / 41% BW, i.e. limited by the serial MXU+VPU chain,
-#            not either roofline.
-#   'kernel' — r4 behavior: o is a kernel operand and delta is computed
-#            in-kernel (fallback; numerics identical, CPU parity test).
+#   'kernel' (default) — o is a kernel operand and delta is reduced
+#            in-VMEM (the r4 behavior).
+#   'pre'    — computed OUTSIDE the kernel by XLA; the kernel drops the o
+#            operand and the VPU reduction. MEASURED ON-CHIP AND LOST
+#            (r5 queue3): ViT-B-16 b88 939.7 vs 957.6 (-1.9%), EVA02-B-16
+#            b64 784.1 vs 816.7 (-4.0%). The hoped-for fusion into the
+#            out_proj bwd does not materialize — XLA emits a separate
+#            rowsum+[B,N,H]->[B,H,N] transpose fusion that re-reads do and
+#            o from HBM, costing more than the kernel's o operand saved
+#            (which rides the grid's double-buffered DMA pipeline anyway).
+#            Kept as an env switch because the trade flips if a future
+#            layer layout hands the kernel a pre-transposed delta for free.
 _DELTA_MODE_VAR = "MRCLIP_FUSEDP_DELTA"
 
 
 def _delta_outside() -> bool:
-    return os.environ.get(_DELTA_MODE_VAR, "pre") == "pre"
+    return os.environ.get(_DELTA_MODE_VAR, "kernel") == "pre"
 
 
 def _packed_fwd_kernel(*refs, heads, scale, causal, rope, batched=False):
