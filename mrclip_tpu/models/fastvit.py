@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LayerNorm, gelu_exact
+from .layers import DepthwiseConv, LayerNorm, gelu_exact
 from .transformer import Transformer
 
 Dtype = Any
@@ -95,8 +95,7 @@ class _ConvFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
-                    dtype=self.dtype, name="conv_dw")(x)
+        x = DepthwiseConv(self.dim, 7, dtype=self.dtype, name="conv_dw")(x)
         x = _norm(self.norm)(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(x)
         x = self.act(x)
@@ -114,8 +113,7 @@ class RepMixerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        mix = nn.Conv(self.dim, (3, 3), padding=1, feature_group_count=self.dim,
-                      dtype=self.dtype, name="mixer_dw")(x)
+        mix = DepthwiseConv(self.dim, 3, dtype=self.dtype, name="mixer_dw")(x)
         scale = self.param("mixer_scale", nn.initializers.ones,
                            (self.dim,), jnp.float32)
         x = x + mix * scale.astype(x.dtype)
@@ -238,8 +236,7 @@ class FastViT(nn.Module):
         # attention stage at 1/32
         x = _PatchDownsample(c[2], c[3], self.norm, dtype=self.dtype,
                              name="downsample3")(x)
-        cpe = nn.Conv(c[3], (7, 7), padding=3, feature_group_count=c[3],
-                      dtype=self.dtype, name="pos_emb_dw")(x)
+        cpe = DepthwiseConv(c[3], 7, dtype=self.dtype, name="pos_emb_dw")(x)
         x = x + cpe  # RepCPE: convolutional (translation-equivariant) positions
         b, h, w, _ = x.shape
         if self.norm == "affine":

@@ -39,6 +39,58 @@ __all__ = [
 ]
 
 
+class DepthwiseConv(nn.Module):
+    """Stride-1 SAME depthwise conv, param-compatible with
+    `nn.Conv(features, (k, k), feature_group_count=features)`.
+
+    On a single TPU device it dispatches to the Pallas kernel
+    (`ops.dw_conv`): the r5 MobileCLIP-S1 trace showed XLA's depthwise
+    lowering at ~50% of the VPU roofline with a pathological filter-grad
+    fusion (6.3% HBM BW) eating 40% of the step. Under a multi-device mesh
+    or with `MRCLIP_DW_IMPL=xla` it falls back to `nn.Conv` (identical
+    params/numerics; the Pallas path has no custom_partitioning yet)."""
+
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        k = self.kernel_size
+        use_pallas = (
+            os.environ.get("MRCLIP_DW_IMPL", "pallas") == "pallas"
+            and jax.device_count() == 1
+        )
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            jnp.float32,
+        )
+        if use_pallas:
+            from ..ops.dw_conv import dw_conv
+
+            y = dw_conv(x.astype(self.dtype), kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.features,
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with fp32 statistics; output cast back to the input dtype.
 
