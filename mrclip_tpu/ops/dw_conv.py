@@ -54,56 +54,46 @@ def _tap_slices(h: int, w: int, di: int, dj: int):
     return (or0, or1, oc0, oc1, ir0, ir1, ic0, ic1)
 
 
-def _acc_add(acc, contrib, r0, c0):
-    """acc[r0:r0+contrib.rows, c0:c0+contrib.cols] += contrib (static
-    offsets; .at[].add would lower to a Pallas-unsupported scatter)."""
-    cur = jax.lax.dynamic_slice(
-        acc, (r0, c0, 0), contrib.shape
-    )
-    return jax.lax.dynamic_update_slice(acc, cur + contrib, (r0, c0, 0))
-
-
-def _fwd_kernel(x_ref, w_ref, y_ref, *, k: int):
-    x = x_ref[0].astype(jnp.float32)  # [H, W, C]
-    h, w_, _ = x.shape
+def _fwd_kernel(x_ref, w_ref, y_ref, acc, *, k: int):
+    # Mosaic supports static ref slicing (masked loads/stores) but not
+    # lax.dynamic_slice on VALUES — so accumulate via read-modify-write
+    # into an fp32 VMEM scratch instead of jnp .at[].add on an array.
+    _, h, w_, _ = y_ref.shape
     p = k // 2
-    acc = jnp.zeros_like(x)
+    acc[...] = jnp.zeros(acc.shape, acc.dtype)
     for i in range(k):
         for j in range(k):
             di, dj = i - p, j - p
             (or0, or1, oc0, oc1, ir0, ir1, ic0, ic1) = _tap_slices(h, w_, di, dj)
-            acc = _acc_add(
-                acc, x[ir0:ir1, ic0:ic1] * w_ref[i * k + j], or0, oc0
+            acc[or0:or1, oc0:oc1, :] += (
+                x_ref[0, ir0:ir1, ic0:ic1, :].astype(jnp.float32)
+                * w_ref[i * k + j, :]
             )
-    y_ref[0] = acc.astype(y_ref.dtype)
+    y_ref[0] = acc[...].astype(y_ref.dtype)
 
 
-def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k: int):
-    x = x_ref[0].astype(jnp.float32)
-    dy = dy_ref[0].astype(jnp.float32)
-    h, w_, _ = x.shape
+def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, acc, *, k: int):
+    _, h, w_, _ = dx_ref.shape
     p = k // 2
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    dx = jnp.zeros_like(x)
+    acc[...] = jnp.zeros(acc.shape, acc.dtype)
     for i in range(k):
         for j in range(k):
             di, dj = i - p, j - p
             (or0, or1, oc0, oc1, ir0, ir1, ic0, ic1) = _tap_slices(h, w_, di, dj)
+            x_sl = x_ref[0, ir0:ir1, ic0:ic1, :].astype(jnp.float32)
+            dy_sl = dy_ref[0, or0:or1, oc0:oc1, :].astype(jnp.float32)
             # dx: correlation of dy with the flipped filter — dy positions
             # that consumed x[ir...] sit at the output slices.
-            dx = _acc_add(
-                dx, dy[or0:or1, oc0:oc1] * w_ref[i * k + j], ir0, ic0
-            )
+            acc[ir0:ir1, ic0:ic1, :] += dy_sl * w_ref[i * k + j, :]
             # dw[t, c] += sum_{pixels} x_shifted * dy
             t = i * k + j
-            dw_ref[t : t + 1, :] += jnp.sum(
-                x[ir0:ir1, ic0:ic1] * dy[or0:or1, oc0:oc1], axis=(0, 1)
-            )[None, :]
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+            dw_ref[t : t + 1, :] += jnp.sum(x_sl * dy_sl, axis=(0, 1))[None, :]
+    dx_ref[0] = acc[...].astype(dx_ref.dtype)
 
 
 def _img_spec(h, w, c):
@@ -128,6 +118,8 @@ def _core_fwd(x, w2, k, interpret):
         in_specs=[_img_spec(h, w_, c), _w_spec(k * k, c)],
         out_specs=_img_spec(h, w_, c),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((h, w_, c), jnp.float32)]
+        if pltpu is not None else [],
         interpret=interpret,
     )(x, w2)
     return y, (x, w2)
@@ -145,6 +137,8 @@ def _core_bwd(k, interpret, res, dy):
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((k * k, c), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((h, w_, c), jnp.float32)]
+        if pltpu is not None else [],
         interpret=interpret,
     )(x, w2, dy.astype(x.dtype))
     return dx, dw.astype(w2.dtype)
