@@ -43,12 +43,15 @@ class DepthwiseConv(nn.Module):
     """Stride-1 SAME depthwise conv, param-compatible with
     `nn.Conv(features, (k, k), feature_group_count=features)`.
 
-    On a single TPU device it dispatches to the Pallas kernel
-    (`ops.dw_conv`): the r5 MobileCLIP-S1 trace showed XLA's depthwise
-    lowering at ~50% of the VPU roofline with a pathological filter-grad
-    fusion (6.3% HBM BW) eating 40% of the step. Under a multi-device mesh
-    or with `MRCLIP_DW_IMPL=xla` it falls back to `nn.Conv` (identical
-    params/numerics; the Pallas path has no custom_partitioning yet)."""
+    The r5 MobileCLIP-S1 trace showed XLA's depthwise lowering at ~50% of
+    the VPU roofline (filter-grad fusion at 6.3% HBM BW) eating 40% of the
+    step, so a whole-image-per-program Pallas kernel (`ops.dw_conv`) was
+    built and A/B'd ON-CHIP: it LOSES 2x (S1 b128: 517 vs 1020 pairs/s) —
+    the per-tap fp32 VMEM read-modify-write accumulation (Mosaic cannot
+    keep a full-image accumulator in registers) plus unaligned-sublane
+    masked stores cost more than XLA's fused, tiled lowering. Default is
+    therefore the XLA path; set `MRCLIP_DW_IMPL=pallas` (single device
+    only) to re-measure the experimental kernel."""
 
     features: int
     kernel_size: int
@@ -61,7 +64,7 @@ class DepthwiseConv(nn.Module):
 
         k = self.kernel_size
         use_pallas = (
-            os.environ.get("MRCLIP_DW_IMPL", "pallas") == "pallas"
+            os.environ.get("MRCLIP_DW_IMPL", "xla") == "pallas"
             and jax.device_count() == 1
         )
         kernel = self.param(
