@@ -30,12 +30,15 @@ consumed through timm's `checkpoint_filter_fn` which fuses them anyway, and
 the fused form is what serving runs. BatchNorm is replaced by LayerNorm
 (fp32-stats, shared impl) — no running stats to synchronize across a mesh.
 
-PROVENANCE: zero-egress environment — no timm source/paper/checkpoints to
-validate stage tables against; depth/width tables below are recorded from
-the papers as remembered and NOT oracle-validated. Weight conversion stays
-gated in `convert.py` (the loud error names this module as the porting
-path). Shapes, training, remat, and mesh sharding are natively tested
-(tests/test_mobileclip.py).
+PROVENANCE: zero-egress environment — no timm source/checkpoints. The
+stage tables are PARAM-ANCHORED (r5): the native towers reproduce Apple's
+published visual parameter counts (MCi1 21.4M vs 21.5M, MCi2 35.7M exact,
+B 89.1M vs 86.3M — tests/test_mobileclip.py). Released Apple checkpoints
+import via `convert.convert_mobile_clip_state_dict` (r5): reparam branches
+fuse into the deploy-import form of these towers (norm='affine' +
+stem='3conv' + _AttnBlock; torch-oracle-tested fusion math,
+tests/test_mobileclip_import.py). Shapes, training, remat, and mesh
+sharding are natively tested (tests/test_mobileclip.py).
 """
 
 from __future__ import annotations
