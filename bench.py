@@ -553,6 +553,7 @@ def main():
         ("ViT-SO400M-14-SigLIP", True): 823.158,  # b16
         ("convnext_base_w", True): 156.614,  # b64
         ("MobileCLIP-S1", True): 46.964,  # b256
+        ("MobileCLIP-S2", True): 66.582,  # b64
         ("MobileCLIP-B", True): 132.425,  # b64
         ("ViTamin-L", True): 489.083,  # b16 (param-anchored r5 stage table)
         ("ViT-H-14", True): 1187.654,  # b16
