@@ -159,14 +159,15 @@ def main():
         "--attn-impl", type=str, default=None,
         choices=["xla", "manual", "bf16", "flash", "fused", "fusedp"],
         help="attention kernel. Default: fusedp (packed-layout Pallas "
-        "kernel, scores VMEM-resident; 892 vs 863 pairs/s at b88) for the "
-        "headline ViT-B-16 train point, bf16 (score/prob tensors stored in "
-        "the compute dtype) everywhere else — fusedp pads the sequence to "
-        "the kernel tile, which loses at e.g. ViT-L-14's 257 tokens "
-        "(216.8 vs 228.2 measured). xla = fp32 scores (strict-parity "
-        "numerics), flash = loop-based Pallas flash kernel (long-seq "
-        "configs), fused = single-tile Pallas kernel (whole sequence "
-        "VMEM-resident, no HBM score matrix)",
+        "kernel, scores VMEM-resident; batched head mode measures 957 vs "
+        "863 pairs/s at b88) for the headline ViT-B-16 train point and "
+        "EVA02-B-16, bf16 (score/prob tensors stored in the compute dtype) "
+        "everywhere else — fusedp pads the sequence to the kernel tile, "
+        "which loses at e.g. ViT-L-14's 257 tokens (216.8 vs 228.2 "
+        "measured). xla = fp32 scores (strict-parity numerics), flash = "
+        "loop-based Pallas flash kernel (long-seq configs), fused = "
+        "grouped-layout Pallas kernel (736.97 at b88 — the transpose/pad "
+        "copies it needs lose to fusedp's natural layout)",
     )
     parser.add_argument(
         "--swiglu-fused", action="store_true",
@@ -313,7 +314,11 @@ def main():
         # other models and the serving path keep the bf16 default.
         headline = on_tpu and not args.quick and args.model is None and not args.infer
         fusedp_wins = headline or (
-            on_tpu and not args.infer and args.model in ("ViT-B-16", "EVA02-B-16")
+            on_tpu
+            and not args.infer
+            # r5: fusedp also wins at ViT-B-32's 50-token packed layout
+            # (2242.2 vs 2058 at b256, +9%, tools/r5_bench.log R5Q10)
+            and args.model in ("ViT-B-16", "EVA02-B-16", "ViT-B-32")
         )
         attn_impl = "fusedp" if fusedp_wins else "bf16"
     model, variables = create_model(
