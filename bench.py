@@ -491,6 +491,7 @@ def main():
         lower_args = (state, batch_data, key)
         total_steps = steps * windows
     else:
+        windows = 1  # per-step dispatch path times one window
         fstep = jax.jit(lambda s, b, k: step.raw(s, prep(b), k), donate_argnums=(0,))
         # warmup / compile (value fetch forces real execution)
         _t_w = time.perf_counter()
